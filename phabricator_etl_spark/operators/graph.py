@@ -1,0 +1,94 @@
+"""Connected components over DataFrames — the engine behind ``stack_size``.
+
+Reference semantics (stats.py:310-357): per-revision BFS over `edge` rows of
+type DEPENDS_ON(5)/DEPENDED_ON(6), traversed in BOTH directions, where a
+reached node joins the component only if it is a revision whose bug id equals
+the seed's (stats.py:342-351); no-bug revisions get stack_size=1
+(stats.py:317-319). Because membership is constrained to same-bug revisions on
+both endpoints, the per-seed closures coincide with global connected
+components within each bug id (SURVEY.md §4.3) — so one global pass replaces
+the reference's O(revisions x edges) re-scans.
+
+Algorithm: large-star/small-star-ish label propagation — each vertex holds the
+min vertex id reachable so far; iterate `label <- min(label, neighbor labels)`
+until fixpoint. Wall-clock is O(diameter) joins; Phabricator dependency stacks
+are shallow (single-digit), so a handful of iterations suffice. Each iteration
+localCheckpoint()s to cut lineage (SURVEY.md §4.2) — without it the plan tree
+doubles per iteration and the driver OOMs on plan size long before data size
+is a problem.
+
+At 100 TB: the edge list shuffles on src/dst each iteration; pre-partitioning
+edges by src (and caching) keeps one side shuffle-free. Skewed hub vertices
+are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Compute undirected connected components.
+
+    Parameters
+    ----------
+    vertices: DataFrame with one column ``id`` (any orderable/comparable type).
+    edges: DataFrame with columns ``src``, ``dst`` (same type as ``id``).
+        Treated as undirected; self-loops and duplicates are fine.
+
+    Returns DataFrame(id, component) where ``component`` is the min vertex id
+    of the component.
+    """
+    # Symmetrize once: each undirected edge appears in both directions, so one
+    # equi-join per iteration covers both traversal directions (the
+    # reference's `or_(src IN frontier, dst IN frontier)`, stats.py:327-331).
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+
+    labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # Candidate labels flowing across edges: neighbor's current label.
+        neighbor_labels = (
+            sym.join(labels, sym.b == labels.id)
+            .select(F.col("a").alias("id"), F.col("component").alias("cand"))
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """(id, component) -> (id, component, size)."""
+    sizes = components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return components.join(sizes, "component")

@@ -1,0 +1,61 @@
+"""Assembles the full query registry consumed by __spark_entry__.py.
+
+Import is deliberately lazy-tolerant: a module with an optional dependency
+failing to import should not take down the whole registry.
+"""
+
+from __future__ import annotations
+
+from .query import Q
+
+
+def all_queries() -> list[Q]:
+    queries: list[Q] = []
+    from .plans.relational import RELATIONAL_QUERIES
+
+    queries.extend(RELATIONAL_QUERIES)
+    try:
+        from .operators.dedup import DEDUP_QUERIES
+
+        queries.extend(DEDUP_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .operators.similarity import SIMILARITY_QUERIES
+
+        queries.extend(SIMILARITY_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .functions.text import TEXT_QUERIES
+
+        queries.extend(TEXT_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .operators.multimodal import MULTIMODAL_QUERIES
+
+        queries.extend(MULTIMODAL_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .plans.incremental import INCREMENTAL_QUERIES
+
+        queries.extend(INCREMENTAL_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .streaming.events import STREAMING_QUERIES
+
+        queries.extend(STREAMING_QUERIES)
+    except ImportError:
+        pass
+    return queries
+
+
+def queries_dict():
+    return {q.name: q.build for q in all_queries()}
+
+
+def oracles_dict():
+    return {q.name: q.oracle.strip() for q in all_queries() if q.oracle}

@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Design notes (scale):
+- UTC session timezone: the reference buckets by UTC year/month
+  (stats.py:876-879) while using a naive-local run bound (stats.py:1097);
+  we pin UTC everywhere and document the divergence (SURVEY.md §7.6).
+- AQE on: runtime re-planning (skew joins, coalesced shuffle partitions)
+  is the 100 TB safety net for everything we can't predict at plan time.
+- Arrow on: any Pandas-UDF path (multimodal stubs) moves data in columnar
+  batches instead of pickled rows.
+- shuffle.partitions defaults to the local core count for tests; a real
+  cluster deployment overrides via spark-submit conf (rule of thumb:
+  ~2-3x total executor cores, or rely on AQE coalescing from a high cap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver testdata stores events.ts as TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read it as long (ns since epoch) and
+        # normalize to a timestamp at scan time (sources/catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
