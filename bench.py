@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced to full materialization with a count() over the built
+DataFrame (the driver-side equivalent of writing the result), timed
+individually after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from phabricator_etl_spark.registry import all_queries
+    from phabricator_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so the first query doesn't pay startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for q in all_queries():
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[q.name] = round(dt, 3)
+        total += dt
+        print(f"# {q.name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

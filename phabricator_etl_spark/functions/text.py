@@ -1,0 +1,215 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Greenfield LLM-training-pipeline operators (no reference counterpart; scoped
+in SURVEY.md §7 Phase 8): token statistics, heuristic language ID, quality
+scoring, and document fingerprinting. All pure JVM-side expressions — zero
+Python UDFs — so they stay inside whole-stage codegen and scale linearly with
+input splits: every query here is a single narrow projection (+ one shuffle
+when aggregating), the shape that survives 100 TB untouched.
+
+Cross-engine conventions follow query.py: exact integer outputs, doubles only
+when derived from exact integer ratios, md5-based hashing (functions/hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+from .hashing import md5_long_sql
+
+# Tokenization: split on whitespace runs. Spark split(col, '\\s+') and DuckDB
+# regexp_split_to_array(col, '\s+') agree (verified: no empty tokens on runs).
+_TOKEN_RE = r"\s+"
+
+# Marker stopwords per language for the n-gram-free heuristic language ID.
+# Deterministic scoring: occurrence count of marker tokens; ties broken by
+# the fixed order below (first wins).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "fr": ["le", "la", "de", "et"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["的", "了", "是", "在"],
+}
+
+FINGERPRINT_MOD = 1 << 31
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), _TOKEN_RE)
+
+
+def _token_in(markers: list[str]):
+    # single-arg lambda factory: a default-arg lambda would look like a
+    # two-arg (value, index) HOF callback to F.filter
+    return lambda t: t.isin(*markers)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats: one narrow projection, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        # exact int/int ratio in double: bit-identical across engines
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("distinct_ratio"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("long").alias("n_punct"),
+    )
+
+
+TOKEN_STATS_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+           / len(regexp_split_to_array(text, '\s+')) AS distinct_ratio,
+       CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-token occurrence counts, argmax with a
+    fixed tie order. Pure expressions — the per-language score columns are
+    computed in one pass over the token array (no explode, no shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("lang_true"),
+        *[
+            F.size(F.filter(toks, _token_in(markers))).alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    # argmax via strict-> comparison chain: first language whose score beats
+    # all later ones; ties resolve to the earlier language in LANG_MARKERS.
+    best = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [f"score_{x}" for x in langs[langs.index(lang) + 1 :]]
+        cond = None
+        for x in later:
+            c = F.col(f"score_{lang}") >= F.col(x)
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    return scored.select(
+        "doc_id",
+        "lang_true",
+        best.alias("lang_pred"),
+        F.greatest(*[F.col(f"score_{x}") for x in langs]).cast("long").alias("best_score"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    pred = repr(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = langs[langs.index(lang) + 1 :]
+        cond = " AND ".join(f"s_{lang} >= s_{x}" for x in later)
+        pred = f"CASE WHEN {cond} THEN '{lang}' ELSE {pred} END"
+    scores_sql = ",\n       ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    greatest = ", ".join(f"s_{x}" for x in langs)
+    return f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_true,
+       {scores_sql}
+  FROM documents
+)
+SELECT doc_id, lang_true, {pred} AS lang_pred,
+       CAST(greatest({greatest}) AS BIGINT) AS best_score
+FROM scored
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring with exact integer arithmetic: length component
+    (capped), vocabulary-diversity component, punctuation penalty. The score
+    is an integer so the cross-engine compare is bit-exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    length_comp = F.least(F.length("text"), F.lit(500)) / F.lit(5)  # 0..100
+    diversity_comp = F.round(F.lit(100.0) * n_distinct / n_tokens)  # 0..100
+    punct_pen = F.least(n_punct * F.lit(5), F.lit(50))
+    score = (F.floor(length_comp) + diversity_comp - punct_pen).cast("long")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        score.alias("quality_score"),
+        (score >= 100).alias("keep"),
+    )
+
+
+QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor(least(n_chars, 500) / 5)
+            + round(100.0 * n_distinct / n_tokens)
+            - least(n_punct * 5, 50) AS BIGINT) AS quality_score,
+       (floor(least(n_chars, 500) / 5)
+            + round(100.0 * n_distinct / n_tokens)
+            - least(n_punct * 5, 50)) >= 100 AS keep
+FROM t
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over the token stream,
+    h <- (h * 31 + md5_long(token) mod 2^30) mod 2^31. F.aggregate folds the
+    token array left-to-right inside codegen — same fold order as DuckDB's
+    list_reduce, so the fingerprints agree exactly."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda h, t: (h * F.lit(31) + F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(1 << 30))
+        % F.lit(FINGERPRINT_MOD),
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fp.alias("fingerprint"),
+    )
+
+
+FINGERPRINT_ORACLE = rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(text, '\s+'),
+                          t -> {md5_long_sql('t')} % {1 << 30})),
+         (h, x) -> (h * 31 + x) % {FINGERPRINT_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+TEXT_QUERIES = [
+    Q("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE, "token/char/punct counting"),
+    Q("text_lang_id", text_lang_id, LANG_ID_ORACLE, "marker-token language ID"),
+    Q("text_quality_score", text_quality_score, QUALITY_ORACLE, "integer quality scoring"),
+    Q("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE, "rolling-hash fingerprint"),
+]

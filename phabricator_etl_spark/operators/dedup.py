@@ -1,0 +1,365 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Greenfield LLM-pipeline operators (SURVEY.md §7 Phase 8). Five dedup
+families, each a pure-DataFrame pipeline with a DuckDB oracle:
+
+- exact (hash-groupBy)              -> dedup_exact
+- n-gram Jaccard (inverted index)   -> dedup_ngram_jaccard
+- MinHash + LSH band bucketing      -> dedup_minhash_lsh
+- SimHash                           -> dedup_simhash
+- embedding cosine near-dup         -> dedup_embedding_cosine
+
+Scale design (the 100 TB story):
+- No crossJoin anywhere. Candidate pairs always come from an equi-join on a
+  bucket key (text hash, shared shingle, LSH band value, simhash prefix,
+  coarse embedding bucket), which Spark executes as a shuffled hash join —
+  linear shuffle volume, AQE-splittable if a bucket is hot.
+- Pair explosion is bounded before the expensive verify step: candidates are
+  deduped on (a, b) with a < b so each unordered pair is checked once.
+- All hashing is md5-derived (functions/hashing) for cross-engine parity;
+  swap in xxhash64 for production (same plan shape, ~2x cheaper hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+from ..functions.hashing import MERSENNE31, MOD30, hash_seeds, md5_long, md5_long_sql
+
+_TOKEN_RE = r"\s+"
+_TOKEN_RE_SQL = r"\s+"
+
+NUM_MINHASHES = 8
+LSH_ROWS_PER_BAND = 2  # 4 bands of 2 -> catches jaccard >~ 0.5 pairs
+SIMHASH_BITS = 16
+COSINE_SCALE = 10_000  # fixed-point quantization for exact integer dot
+
+
+def _shingles(col: str = "text", n: int = 3) -> F.Column:
+    """Word n-gram shingles as strings: tokens joined by a space within a
+    sliding window. transform over indices keeps it all in codegen."""
+    toks = F.split(F.col(col), _TOKEN_RE)
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _shingles_sql(expr: str = "text", n: int = 3) -> str:
+    toks = f"regexp_split_to_array({expr}, '{_TOKEN_RE_SQL}')"
+    joined = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), i -> {joined})) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content. One shuffle on the 60-bit text hash;
+# at 100 TB this is the canonical "group by checksum, keep min id" pass.
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(F.col("doc_id").cast("long").alias("doc_id"), md5_long(F.col("text")).alias("h"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+    return (
+        hashed.join(canon, "h")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+            F.col("dup_count").cast("long").alias("dup_count"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+WITH hashed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {md5_long_sql('text')} AS h FROM documents
+), canon AS (
+  SELECT h, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count FROM hashed GROUP BY h
+)
+SELECT doc_id, canonical_id, doc_id = canonical_id AS is_canonical,
+       CAST(dup_count AS BIGINT) AS dup_count
+FROM hashed JOIN canon USING (h)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index: explode shingles, self-join on shingle,
+# count shared shingles per pair, Jaccard from |A|+|B|-|inter|. The join key
+# is the shingle hash — a rare-token index join, not a crossJoin. Frequent
+# shingles are the skew risk at scale: cap posting-list length (drop shingles
+# appearing in > maxDF docs) exactly like search engines drop stopwords.
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD_X1000 = 300
+MAX_SHINGLE_DF = 50  # posting-list cap: shingles in more docs are stopwords
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_shingles()).alias("shingle"),
+    ).select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
+    sh_kept = sh.join(df_cap.select("sh"), "sh")
+    a = sh_kept.select(F.col("doc_id").alias("a"), "sh")
+    b = sh_kept.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard_x1000",
+            F.round(F.lit(1000.0) * F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).cast("long"),
+        )
+        .filter(F.col("jaccard_x1000") >= JACCARD_THRESHOLD_X1000)
+        .select("a", "b", "jaccard_x1000")
+    )
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH sh0 AS (
+  SELECT doc_id, {md5_long_sql('shingle')} AS sh
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_shingles_sql()}) AS shingle FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id
+), df_cap AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), kept AS (
+  SELECT sh0.* FROM sh0 JOIN df_cap USING (sh)
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(round(1000.0 * inter / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_x1000
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(1000.0 * inter / (sa.sz + sb.sz - inter)) >= {JACCARD_THRESHOLD_X1000}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: k min-hashes per doc from a seeded hash family over the
+# shingle set (array_min over transform — no explode, no shuffle for the
+# signature); band values join docs into candidate buckets; verify step
+# recomputes exact signature agreement. At 100 TB the signature pass is
+# embarrassingly parallel and the only shuffle is the band-bucket join.
+# ---------------------------------------------------------------------------
+
+def _seeded(a: int, b: int):
+    # single-arg lambda factory (default args would change the HOF arity)
+    return lambda s: (F.lit(a) * (md5_long(s) % F.lit(MOD30)) + F.lit(b)) % F.lit(MERSENNE31)
+
+
+def _minhash_cols() -> list[F.Column]:
+    return [
+        F.array_min(F.transform(F.col("shingles"), _seeded(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(hash_seeds(NUM_MINHASHES))
+    ]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sig = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _shingles().alias("shingles"),
+    ).select("doc_id", *_minhash_cols())
+    n_bands = NUM_MINHASHES // LSH_ROWS_PER_BAND
+    band_cols = []
+    for bi in range(n_bands):
+        parts = [F.col(f"mh{bi * LSH_ROWS_PER_BAND + j}") for j in range(LSH_ROWS_PER_BAND)]
+        bv = parts[0]
+        for p in parts[1:]:
+            bv = (bv * F.lit(31) + p) % F.lit(1 << 40)
+        band_cols.append(F.struct(F.lit(bi).alias("band"), bv.alias("bv")))
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    # verify: estimated jaccard = fraction of agreeing minhashes
+    siga = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_MINHASHES)])
+    sigb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_MINHASHES)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_MINHASHES))
+    return (
+        cand.join(siga, "a")
+        .join(sigb, "b")
+        .select("a", "b", agree.cast("long").alias("minhash_agree"))
+        .filter(F.col("minhash_agree") * 2 >= NUM_MINHASHES)
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    seeds = hash_seeds(NUM_MINHASHES)
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * ({md5_long_sql('s')} % {MOD30}) + {b}) % {MERSENNE31})) AS mh{i}"
+        for i, (a, b) in enumerate(seeds)
+    )
+    n_bands = NUM_MINHASHES // LSH_ROWS_PER_BAND
+    band_rows = []
+    for bi in range(n_bands):
+        parts = [f"mh{bi * LSH_ROWS_PER_BAND + j}" for j in range(LSH_ROWS_PER_BAND)]
+        bv = parts[0]
+        for p in parts[1:]:
+            bv = f"(({bv}) * 31 + {p}) % {1 << 40}"
+        band_rows.append(f"SELECT doc_id, {bi} AS band, {bv} AS bv FROM sig")
+    banded = "\nUNION ALL\n".join(band_rows)
+    agree = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASHES))
+    return f"""
+WITH sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {mh}
+  FROM (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents)
+), banded AS (
+{banded}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST({agree} AS BIGINT) AS minhash_agree
+FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+WHERE ({agree}) * 2 >= {NUM_MINHASHES}
+"""
+
+
+DEDUP_MINHASH_ORACLE = _minhash_lsh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signature; bit j is the sign of sum over tokens of
+# (+1 / -1) depending on bit j of the token hash. Expressed as 16 aggregate
+# expressions over the token array — single projection, no shuffle.
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), _TOKEN_RE)
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform(toks, lambda t: md5_long(t)).alias("hs"),
+    )
+    def _bit_sum(j: int):
+        # two-arg (acc, element) lambda factory; a j=j default would make it 3-ary
+        return lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    bit_sums = [
+        F.aggregate(F.col("hs"), F.lit(0).cast("long"), _bit_sum(j))
+        for j in range(SIMHASH_BITS)
+    ]
+    simhash = sum(
+        (F.when(bs >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j, bs in enumerate(bit_sums)),
+        start=F.lit(0),
+    )
+    return base.select("doc_id", simhash.cast("long").alias("simhash16"))
+
+
+def _simhash_oracle() -> str:
+    bits = []
+    for j in range(SIMHASH_BITS):
+        bs = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "
+            f"(acc, h) -> acc + CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+        )
+        bits.append(f"CASE WHEN {bs} >= 0 THEN {1 << j} ELSE 0 END")
+    total = " + ".join(bits)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({total} AS BIGINT) AS simhash16
+FROM (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, '{_TOKEN_RE_SQL}'), t -> {md5_long_sql('t')}) AS hs
+  FROM documents
+)
+"""
+
+
+DEDUP_SIMHASH_ORACLE = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup: fixed-point quantized dot product (exact integer
+# math, bit-identical across engines). Candidates come from a coarse sign-bit
+# bucket on the first 8 dims — the LSH-flavored scale path; the oracle
+# replicates the same bucketing so both engines see the same pairs.
+# ---------------------------------------------------------------------------
+
+COSINE_NEARDUP_X1E8 = 30_000_000  # cos >= 0.3 at scale 1e8
+SIGN_BUCKET_DIMS = 4
+
+
+def _quantize(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * COSINE_SCALE).cast("long"))
+
+
+def _sign_bucket(qcol: F.Column) -> F.Column:
+    bucket = F.lit(0)
+    for j in range(SIGN_BUCKET_DIMS):
+        bucket = bucket + F.when(F.element_at(qcol, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _quantize(F.col("embedding")).alias("qe"),
+    ).withColumn("bucket", _sign_bucket(F.col("qe")))
+    a = q.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"), "bucket")
+    b = q.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"), "bucket")
+    dot = F.aggregate(F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dot_q", dot)
+        .filter(F.col("dot_q") >= COSINE_NEARDUP_X1E8)
+        .select("a", "b", "dot_q")
+    )
+
+
+DEDUP_COSINE_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_SCALE}) AS BIGINT)) AS qe
+  FROM embeddings
+), qb AS (
+  SELECT vec_id, qe,
+         {" + ".join(f"CASE WHEN qe[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END" for j in range(SIGN_BUCKET_DIMS))} AS bucket
+  FROM q
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) AS dot_q
+FROM qb x JOIN qb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) >= {COSINE_NEARDUP_X1E8}
+"""
+
+
+DEDUP_QUERIES = [
+    Q("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
+    Q("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "inverted-index n-gram Jaccard"),
+    Q("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash + LSH banding"),
+    Q("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "16-bit SimHash signatures"),
+    Q("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_COSINE_ORACLE, "quantized cosine near-dup"),
+]
