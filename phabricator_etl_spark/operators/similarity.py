@@ -1,0 +1,192 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Greenfield LLM-pipeline operators (SURVEY.md §7 Phase 8). Three tiers:
+
+- ann_topk_bruteforce: exact top-k by cosine — the correctness baseline.
+  Query side is a small filtered set, broadcast against the corpus; the
+  corpus never shuffles. At 100 TB this is the "small query batch x huge
+  corpus" shape: one scan, map-side scoring, per-query top-k via window.
+- ann_lsh_bucket: random-hyperplane-style sign-bit sketch (first 8 dims)
+  bucketing both sides; candidates only within a bucket. The recall/cost
+  trade is the bucket width; the plan is an equi-join on the sketch, which
+  scales linearly and AQE-splits hot buckets.
+- ann_ivf_probe1: IVF-flat with nprobe=1, using the ``label`` column as the
+  coarse-quantizer cell id (the k-means assignment a real IVF build step
+  would produce). Search only scans the query's own cell: an equi-join on
+  the cell id — the classic inverted-file pruning.
+
+All scoring is fixed-point integer dot product (functions/hashing rationale:
+bit-exact across engines; embeddings are unit-norm so dot == cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+
+COSINE_SCALE = 10_000
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+SKETCH_DIMS = 8
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * COSINE_SCALE).cast("long")).alias("qe"),
+    )
+
+
+_QUANT_SQL = f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_SCALE}) AS BIGINT)) AS qe
+FROM embeddings
+"""
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: broadcast the query batch, score everything, window
+    row_number per query. The corpus-side scan is a single narrow stage."""
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    corpus = q.select(F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot_q", _dot("q_qe", "c_qe"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "dot_q", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ANN_BRUTE_ORACLE = f"""
+WITH q AS ({_QUANT_SQL}),
+scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, {_dot_sql('qq.qe', 'c.qe')} AS dot_q
+  FROM q qq JOIN q c ON c.vec_id <> qq.vec_id
+  WHERE qq.vec_id < {N_QUERIES}
+)
+SELECT query_id, cand_id, dot_q, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_q DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _sketch(qe: str) -> F.Column:
+    b = F.lit(0)
+    for j in range(SKETCH_DIMS):
+        b = b + F.when(F.element_at(F.col(qe), j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+def _sketch_sql(qe: str) -> str:
+    return " + ".join(f"CASE WHEN {qe}[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END" for j in range(SKETCH_DIMS))
+
+
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-bit
+    bucket. Equi-join on the sketch value replaces the crossJoin — the scale
+    path when the query batch is itself huge."""
+    q = _quantized(spark, sf_dir).withColumn("sketch", _sketch("qe"))
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"), "sketch"
+    )
+    corpus = q.select(F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe"), "sketch")
+    scored = (
+        corpus.join(F.broadcast(queries), "sketch")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot_q", _dot("q_qe", "c_qe"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "dot_q", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ANN_LSH_ORACLE = f"""
+WITH q AS (SELECT *, {_sketch_sql('qe')} AS sketch FROM ({_QUANT_SQL})),
+scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, {_dot_sql('qq.qe', 'c.qe')} AS dot_q
+  FROM q qq JOIN q c ON c.sketch = qq.sketch AND c.vec_id <> qq.vec_id
+  WHERE qq.vec_id < {N_QUERIES}
+)
+SELECT query_id, cand_id, dot_q, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_q DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def ann_ivf_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=1: scan only the query's coarse cell (label). The
+    inverted-file equi-join prunes the corpus to ~1/n_cells of its size."""
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"), F.col("label").alias("cell")
+    )
+    corpus = q.select(F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe"), F.col("label").alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot_q", _dot("q_qe", "c_qe"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "dot_q", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH q AS ({_QUANT_SQL}),
+scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, {_dot_sql('qq.qe', 'c.qe')} AS dot_q
+  FROM q qq JOIN q c ON c.label = qq.label AND c.vec_id <> qq.vec_id
+  WHERE qq.vec_id < {N_QUERIES}
+)
+SELECT query_id, cand_id, dot_q, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_q DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+SIMILARITY_QUERIES = [
+    Q("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTE_ORACLE, "exact cosine top-k"),
+    Q("ann_lsh_bucket", ann_lsh_bucket, ANN_LSH_ORACLE, "sign-sketch bucketed ANN"),
+    Q("ann_ivf_probe1", ann_ivf_probe1, ANN_IVF_ORACLE, "IVF nprobe=1 cell-pruned ANN"),
+]

@@ -33,6 +33,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .functions.json_ops import JSON_QUERIES
+
+        queries.extend(JSON_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .operators.multimodal import MULTIMODAL_QUERIES
 
         queries.extend(MULTIMODAL_QUERIES)
