@@ -106,10 +106,17 @@ MAX_SHINGLE_DF = 50  # posting-list cap: shingles in more docs are stopwords
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(_shingles()).alias("shingle"),
-    ).select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+    # cache: the exploded+hashed posting list feeds three consumers (sizes,
+    # document-frequency cap, and the pair join) — without it Spark re-runs
+    # the explode+md5 scan per consumer
+    sh = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(_shingles()).alias("shingle"),
+        )
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
     sh_kept = sh.join(df_cap.select("sh"), "sh")
@@ -179,10 +186,16 @@ def _minhash_cols() -> list[F.Column]:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    sig = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _shingles().alias("shingles"),
-    ).select("doc_id", *_minhash_cols())
+    # cache: the signature table feeds the banding explode AND both sides of
+    # the verify join; the 8 array_min(md5...) passes are the expensive part
+    sig = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _shingles().alias("shingles"),
+        )
+        .select("doc_id", *_minhash_cols())
+        .localCheckpoint(eager=True)
+    )
     n_bands = NUM_MINHASHES // LSH_ROWS_PER_BAND
     band_cols = []
     for bi in range(n_bands):

@@ -58,6 +58,16 @@ def connected_components(
 
     labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint(eager=True)
 
+    # Convergence detection: labels are elementwise NON-INCREASING (every
+    # update takes a min), so for numeric ids the global sum(component)
+    # strictly decreases iff any label changed — one cheap single-row agg per
+    # round instead of a full old-vs-new anti-join. Non-numeric ids fall back
+    # to the join-based check.
+    numeric_ids = labels.schema["component"].dataType.typeName() in {
+        "long", "integer", "short", "byte", "double", "float", "decimal",
+    }
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0] if numeric_ids else None
+
     for _ in range(max_iterations):
         # Candidate labels flowing across edges: neighbor's current label.
         neighbor_labels = (
@@ -66,24 +76,40 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("cand").alias("cand"))
         )
+        hop = labels.join(neighbor_labels, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component"),
+        )
+        # Pointer doubling (path compression): component <- label(component).
+        # The neighbor-min hop alone needs O(diameter) rounds; composing it
+        # with one pointer jump per round collapses chains geometrically,
+        # so rounds ~ O(log diameter) — the large-star/small-star insight.
+        ptr = hop.select(F.col("id").alias("p_id"), F.col("component").alias("p_comp"))
         new_labels = (
-            labels.join(neighbor_labels, "id", "left")
+            hop.join(ptr, hop.component == ptr.p_id, "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component"),
+                F.least(F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if numeric_ids:
+            cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
 
     return labels
 
