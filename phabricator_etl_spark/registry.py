@@ -15,6 +15,12 @@ def all_queries() -> list[Q]:
 
     queries.extend(RELATIONAL_QUERIES)
     try:
+        from .plans.phab_queries import PHAB_QUERIES
+
+        queries.extend(PHAB_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .operators.dedup import DEDUP_QUERIES
 
         queries.extend(DEDUP_QUERIES)
