@@ -1,0 +1,338 @@
+"""Extended operator surface beyond the reference's inventory.
+
+The reference has no as-of joins, analytic frames, lead/lag, grouping sets,
+or distinct aggregates (SURVEY.md §2.4/§2.5 "not present"); a user moving
+real workloads onto this engine needs them, so they are implemented here as
+first-class gated queries.
+
+Scale notes per query; the as-of join is the interesting one: Spark has no
+native ASOF, and the naive per-key crossJoin explodes. The scalable
+composition is the union trick — tag both streams, sort within (key) by
+(ts, tag), and carry the most recent build-side row forward with last_value
+IGNORE NULLS over an unbounded-preceding frame. One shuffle on the key,
+no join at all; at 100 TB this is strictly better than a range join
+because the state per key is O(1).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+
+
+def _ts(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest order at-or-before each event, per customer.
+# ---------------------------------------------------------------------------
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("key"),
+        F.col("ts").alias("etime"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("key"),
+        F.col("o_orderdate").alias("otime"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+    )
+    # union trick: orders sort before events at equal timestamps (tag 0 < 1)
+    # so ts >= o_orderdate matches inclusively, mirroring ASOF semantics.
+    # Equal-timestamp orders tie-break to the LARGEST o_orderkey so the
+    # carried row is deterministic (DuckDB ASOF picks one arbitrarily; we
+    # pin the winner and mirror it in the oracle).
+    tagged = o.select(
+        "key", F.col("otime").alias("t"), F.lit(0).alias("tag"),
+        F.col("o_orderkey").alias("carry"), F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        e.select(
+            "key", F.col("etime").alias("t"), F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("carry"), "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t"), F.col("tag"), F.col("carry").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("matched_order", F.last("carry", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            _ts("t").alias("event_ts"),
+            F.col("matched_order").alias("o_orderkey"),
+        )
+    )
+
+
+ASOF_ORACLE = """
+WITH ranked_orders AS (
+  -- pin the winner among equal-timestamp orders: largest orderkey
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey
+FROM events e
+ASOF LEFT JOIN (SELECT * FROM ranked_orders WHERE rn = 1) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag + rolling analytic frames.
+# ---------------------------------------------------------------------------
+
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: gap to previous order, next status."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        (F.unix_timestamp("o_orderdate") - F.unix_timestamp(F.lag("o_orderdate").over(w)))
+        .cast("long").alias("gap_seconds"),
+        F.lead("o_orderstatus").over(w).alias("next_status"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+LEAD_LAG_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(epoch(o_orderdate) - epoch(LAG(o_orderdate) OVER w) AS BIGINT) AS gap_seconds,
+       LEAD(o_orderstatus) OVER w AS next_status,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-order spend per customer (rowsBetween frame) + running
+    total (unbounded preceding) — the analytic frames the reference lacks."""
+    o = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.sum(cents).over(base.rowsBetween(-2, 0)).alias("rolling3_cents"),
+        F.sum(cents).over(base.rowsBetween(Window.unboundedPreceding, 0)).alias("running_cents"),
+    )
+
+
+ROLLING_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling3_cents,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup + distinct aggregates.
+# ---------------------------------------------------------------------------
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): per-pair, per-status, grand total.
+    Spark expands grouping sets via a single Expand node — one scan, one
+    shuffle, regardless of the number of sets."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.col("n").cast("long").alias("n"),
+            "cents",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (absent from the reference): exact distinct
+    counts per group; Spark plans these as a two-phase expand+aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").cast("long").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 as a no-window aggregation: min(struct) instead of row_number. The
+# struct-min form is a pure partial aggregate — no sort, no window state;
+# at scale it beats the window for "pick one row per key" by a wide margin.
+# ---------------------------------------------------------------------------
+
+def w3_first_by_struct_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    picked = (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey", "o_orderpriority")).alias("first"))
+    )
+    return picked.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("first.o_orderkey").cast("long").alias("first_orderkey"),
+        F.col("first.o_orderpriority").alias("first_priority"),
+    )
+
+
+W3_STRUCT_ORACLE = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS first_orderkey,
+       o_orderpriority AS first_priority
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partitioned sink round-trip (§4.4): ym-partitioned write, pruned read.
+# ---------------------------------------------------------------------------
+
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by ym (the reference's month-loop unit as a
+    partition column), read back ONE month through partition pruning, and
+    aggregate it. The checked result proves the round-trip preserves rows
+    and the pruned read matches a direct filter."""
+    o = _t(spark, sf_dir, "orders")
+    target = os.path.join(tempfile.gettempdir(), f"ym_sink_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        o.withColumn("ym", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(target)
+    )
+    back = spark.read.parquet(target).filter(F.col("ym") == "1995-03")
+    return back.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.countDistinct("o_custkey").cast("long").alias("customers"),
+    )
+
+
+SINK_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+       COUNT(DISTINCT o_custkey) AS customers
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF parity demo (§2.10): the same integer quality score as
+# functions/text.py computed through an Arrow-vectorized scalar UDF —
+# demonstrating the sanctioned slow path gives identical results, and
+# letting bench quantify the JVM-vs-Arrow gap.
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def _quality_pandas(text: pd.Series) -> pd.Series:
+    import re as _re
+
+    toks = text.str.split(r"\s+", regex=True)
+    n_tokens = toks.map(len)
+    n_distinct = toks.map(lambda t: len(set(t)))
+    n_punct = text.map(lambda s: len(_re.sub(r"[^.,!?;:]", "", s)))
+    n_chars = text.str.len()
+    length_comp = (n_chars.clip(upper=500) / 5).map(int)
+    # pandas .round() is banker's (half-even); SQL round is half-away —
+    # floor(x + 0.5) matches for the positive ratios here
+    import numpy as np
+
+    diversity = np.floor(100.0 * n_distinct / n_tokens + 0.5).map(int)
+    punct_pen = (n_punct * 5).clip(upper=50)
+    return (length_comp + diversity - punct_pen).astype("int64")
+
+
+def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _quality_pandas(F.col("text")).alias("quality_score"),
+    )
+
+
+PANDAS_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor(least(n_chars, 500) / 5)
+            + round(100.0 * n_distinct / n_tokens)
+            - least(n_punct * 5, 50) AS BIGINT) AS quality_score
+FROM t
+"""
+
+
+EXTENSION_QUERIES = [
+    Q("asof_join_events_orders", asof_join_events_orders, ASOF_ORACLE, "as-of join via union trick"),
+    Q("window_lead_lag", window_lead_lag, LEAD_LAG_ORACLE, "lead/lag timeline"),
+    Q("window_rolling_frames", window_rolling_frames, ROLLING_ORACLE, "rolling + running frames"),
+    Q("agg_rollup", agg_rollup, ROLLUP_ORACLE, "ROLLUP grouping sets"),
+    Q("agg_distinct", agg_distinct, DISTINCT_ORACLE, "exact distinct aggregates"),
+    Q("w3_first_by_struct_min", w3_first_by_struct_min, W3_STRUCT_ORACLE, "no-window top-1 via struct-min"),
+    Q("sink_partitioned_roundtrip", sink_partitioned_roundtrip, SINK_ORACLE, "ym-partitioned sink + pruned read"),
+    Q("pandas_udf_quality", pandas_udf_quality, PANDAS_QUALITY_ORACLE, "Arrow pandas_udf parity"),
+]

@@ -51,6 +51,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.extensions import EXTENSION_QUERIES
+
+        queries.extend(EXTENSION_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .plans.incremental import INCREMENTAL_QUERIES
 
         queries.extend(INCREMENTAL_QUERIES)
