@@ -278,11 +278,10 @@ def _bug_ids(src: PhabSources) -> DataFrame:
     )
 
 
-def stack_sizes(src: PhabSources) -> DataFrame:
-    """A8/§4.3: one global connected-components pass over dependency edges
-    restricted to same-bug endpoints, replacing the reference's per-revision
-    BFS (stats.py:310-357). Returns (rev_phid, stack_size) for every
-    revision; no-bug or isolated revisions get 1."""
+def stack_components(src: PhabSources) -> DataFrame:
+    """(rev_phid, component) over dependency edges restricted to same-bug
+    endpoints — the global CC pass behind stack_size, exposed separately so
+    the incremental runner can do graph-aware invalidation."""
     bug = _bug_ids(src).filter(F.col("bug_id").isNotNull())
     rb = src.revision.select(F.col("phid")).join(bug, src.revision.phid == bug.rev_phid).select(
         F.col("phid"), F.col("bug_id")
@@ -294,8 +293,17 @@ def stack_sizes(src: PhabSources) -> DataFrame:
         e.join(sb, "src").join(db, "dst").filter(F.col("src_bug") == F.col("dst_bug")).select("src", "dst")
     )
     comp = connected_components(rb.select(F.col("phid").alias("id")), same_bug_edges)
+    return comp.select(F.col("id").alias("rev_phid"), "component")
+
+
+def stack_sizes(src: PhabSources) -> DataFrame:
+    """A8/§4.3: one global connected-components pass over dependency edges
+    restricted to same-bug endpoints, replacing the reference's per-revision
+    BFS (stats.py:310-357). Returns (rev_phid, stack_size) for every
+    revision; no-bug or isolated revisions get 1."""
+    comp = stack_components(src)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-    per_rev = comp.join(sizes, "component").select(F.col("id").alias("rev_phid"), F.col("sz"))
+    per_rev = comp.join(sizes, "component").select("rev_phid", F.col("sz"))
     return (
         src.revision.select(F.col("phid").alias("rev_phid"))
         .join(per_rev, "rev_phid", "left")
@@ -303,7 +311,18 @@ def stack_sizes(src: PhabSources) -> DataFrame:
     )
 
 
-def build_revisions(src: PhabSources, repos: DataFrame, projects: DataFrame) -> DataFrame:
+def build_revisions(
+    src: PhabSources,
+    repos: DataFrame,
+    projects: DataFrame,
+    *,
+    stacks: DataFrame | None = None,
+) -> DataFrame:
+    """``stacks`` (rev_phid, stack_size) may be precomputed over the FULL
+    revision graph — required in incremental runs, where the revision table
+    here is watermark-filtered but stack membership must consult every
+    revision (the reference's BFS queries unfiltered all_revisions,
+    stats.py:1117-1119)."""
     rev = src.revision
 
     # A2: date_landed = max dateCreated over commit diffs (over ALL diffs,
@@ -339,7 +358,8 @@ def build_revisions(src: PhabSources, repos: DataFrame, projects: DataFrame) -> 
     )
 
     bug = _bug_ids(src)
-    stacks = stack_sizes(src)
+    if stacks is None:
+        stacks = stack_sizes(src)
 
     out = (
         rev.join(F.broadcast(bug), rev.phid == bug.rev_phid, "left").drop("rev_phid")
