@@ -451,6 +451,54 @@ LEFT JOIN delta_names dn_new ON dn_new.txn_id = t.id AND dn_new.side = 'new'
 """
 
 
+def phab_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 raising-arm parity (SURVEY §7.4): the reference RAISES on malformed
+    comment.attributes / repository.details but swallows malformed edge and
+    reviewer JSON. A distributed job must not die on one bad row, so the
+    raising arms become this audit table: per column, rows checked / rows
+    malformed — a fail-fast gate can assert malformed == 0 before loading,
+    reproducing the reference's abort semantics batch-wide."""
+    src = _ensure_world(spark)
+
+    def audit(df: DataFrame, col: str, label: str) -> DataFrame:
+        # Spark has no json_valid; get_json_object(col,'$') is NULL exactly
+        # for malformed input (plus the valid literal `null`, special-cased)
+        bad = (
+            F.col(col).isNotNull()
+            & F.get_json_object(F.col(col), "$").isNull()
+            & (F.trim(F.col(col)) != "null")
+        )
+        checked = df.select(
+            F.lit(label).alias("column_name"),
+            F.when(bad, 1).otherwise(0).alias("bad"),
+        )
+        return checked.groupBy("column_name").agg(
+            F.count(F.lit(1)).alias("rows_checked"),
+            F.sum("bad").cast("long").alias("rows_malformed"),
+        )
+
+    a = audit(src.transaction_comment, "attributes", "comment.attributes")
+    b = audit(src.repository, "details", "repository.details")
+    c = audit(src.project_transaction, "metadata", "project_transaction.metadata")
+    return a.unionByName(b).unionByName(c).orderBy("column_name")
+
+
+PHAB_VALIDITY_ORACLE = f"""
+SELECT 'comment.attributes' AS column_name, COUNT(*) AS rows_checked,
+       SUM(CASE WHEN attributes IS NOT NULL AND NOT json_valid(attributes) THEN 1 ELSE 0 END) AS rows_malformed
+FROM {_pq('transaction_comment')}
+UNION ALL
+SELECT 'repository.details', COUNT(*),
+       SUM(CASE WHEN details IS NOT NULL AND NOT json_valid(details) THEN 1 ELSE 0 END)
+FROM {_pq('repository')}
+UNION ALL
+SELECT 'project_transaction.metadata', COUNT(*),
+       SUM(CASE WHEN metadata IS NOT NULL AND NOT json_valid(metadata) THEN 1 ELSE 0 END)
+FROM {_pq('project_transaction')}
+ORDER BY column_name
+"""
+
+
 PHAB_QUERIES = [
     Q("phab_diffs", phab_diffs, PHAB_DIFFS_ORACLE, "diffs table (P8+J10/J11)"),
     Q("phab_changesets", phab_changesets, PHAB_CHANGESETS_ORACLE, "changesets table (J3)"),
@@ -461,4 +509,6 @@ PHAB_QUERIES = [
     Q("phab_review_groups", phab_review_groups, PHAB_REVIEW_GROUPS_ORACLE, "review_groups (P7/J13)"),
     Q("phab_project_transactions", phab_project_transactions, PHAB_PROJECT_TRANSACTIONS_ORACLE,
       "project_transactions (P11/F3/F4/A7/J14/J15)"),
+    Q("phab_validity_audit", phab_validity_audit, PHAB_VALIDITY_ORACLE,
+      "C5 raising-arm parity as a validity audit (SURVEY §7.4)"),
 ]

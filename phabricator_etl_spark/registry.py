@@ -68,6 +68,12 @@ def all_queries() -> list[Q]:
         queries.extend(STREAMING_QUERIES)
     except ImportError:
         pass
+    try:
+        from .streaming.sessions import SESSION_QUERIES
+
+        queries.extend(SESSION_QUERIES)
+    except ImportError:
+        pass
     return queries
 
 
