@@ -576,6 +576,105 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# Additional TPC-H shapes widening the relational battery.
+# --------------------------------------------------------------------------
+
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join.
+    The semi join keeps orders' partitioning; lineitem is only scanned for
+    its join key (column pruning to 2 columns)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp"))
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > TIMESTAMP '1996-06-01')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + count -> distribution of counts.
+    Two aggregations with one shuffle each; the outer join preserves
+    customers with zero orders (count 0 bucket)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").startswith("5-"))
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority NOT LIKE '5-%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_volume_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum, then join back to detail.
+    The having-filtered key set is small -> broadcast back against orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "total_qty",
+            _ts("o_orderdate").alias("order_ts"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+Q18_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       total_qty,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+) b ON o_orderkey = b.l_orderkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
+
+
 RELATIONAL_QUERIES = [
     Q("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "TPC-H Q1: scan+filter+agg"),
     Q("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "3-way join + topk"),
@@ -594,4 +693,7 @@ RELATIONAL_QUERIES = [
     Q("f1_json_extract", f1_json_extract, F1_ORACLE, "F1/F5 JSON extraction"),
     Q("c3_value_coercion", c3_value_coercion, C3_ORACLE, "C3 coercion parity shape"),
     Q("a8_connected_components", a8_connected_components, A8_ORACLE, "A8 stack_size via CC"),
+    Q("q4_order_priority_exists", q4_order_priority_exists, Q4_ORACLE, "TPC-H Q4 EXISTS semi-join"),
+    Q("q13_customer_distribution", q13_customer_distribution, Q13_ORACLE, "TPC-H Q13 outer-join distribution"),
+    Q("q18_large_volume_having", q18_large_volume_having, Q18_ORACLE, "TPC-H Q18 HAVING + broadcast-back"),
 ]

@@ -57,6 +57,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.scale_techniques import SCALE_QUERIES
+
+        queries.extend(SCALE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .plans.incremental import INCREMENTAL_QUERIES
 
         queries.extend(INCREMENTAL_QUERIES)

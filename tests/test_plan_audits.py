@@ -89,6 +89,23 @@ def test_phab_pipelines_have_no_python_nodes(fixtures, table):
         )
 
 
+def test_bucketed_join_is_colocated(spark, sf_smoke):
+    """Bucketed tables must join without an Exchange before the join: the
+    scans read buckets directly (Bucketed: true) and only the post-join
+    aggregation shuffles (SURVEY §4.4's co-located join lever)."""
+    from phabricator_etl_spark.plans.scale_techniques import bucketed_colocated_join
+
+    plan = _plan(bucketed_colocated_join(spark, sf_smoke))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # no Exchange may appear below the join: in the formatted plan the join
+    # inputs are the numbered operators before the SortMergeJoin node
+    lines = plan.splitlines()
+    join_idx = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln and ln.lstrip().startswith("+-"))
+    tree_above_join = "\n".join(lines[join_idx:join_idx + 8])
+    assert "Exchange" not in tree_above_join, tree_above_join
+
+
 def test_phab_dimension_joins_broadcast(fixtures):
     plan = _plan(P.build_all(fixtures)["review_requests"])
     assert "BroadcastHashJoin" in plan, "user/project dims must broadcast"
