@@ -1,0 +1,131 @@
+"""K-means (Lloyd's) over embedding columns + IVF index build/search.
+
+The IVF coarse quantizer in operators/similarity.py uses the dataset's label
+column as a stand-in cell id; this module builds REAL cells: k-means via
+iterative DataFrame aggregation (no MLlib dependency — the point is the
+engine primitive), then IVF search against the learned centroids.
+
+Determinism: init = the k lowest vec_ids; each iteration assigns by exact
+argmin over quantized-integer distances and recomputes centroids with
+Spark's avg. Float summation order varies across engines, so these are
+rows-only gate entries; the semantic invariants (SSE monotonically
+non-increasing, assignment = argmin to final centroids, k cells non-empty)
+are pytest-checked in tests/test_clustering.py.
+
+Scale: each iteration is one broadcast of k centroids (tiny) + one scan with
+map-side partial aggregation — the canonical embarrassingly-parallel Lloyd.
+The centroid table never exceeds k x dim doubles; the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+
+K_CELLS = 8
+ITERATIONS = 5
+TOP_K = 5
+N_QUERIES = 10
+
+
+def _sq_dist(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def kmeans_fit(vectors: DataFrame, *, k: int = K_CELLS, iterations: int = ITERATIONS) -> DataFrame:
+    """vectors: (vec_id long, vec array<double>). Returns (cell, centroid).
+
+    Lloyd's algorithm: assign to nearest centroid, recompute means. Empty
+    cells keep their previous centroid (standard fix)."""
+    dim = len(vectors.select("vec").first().vec)
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.row_number().over(Window.orderBy("vec_id")).alias("cell"), F.col("vec").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        assigned = assign_cells(vectors, centroids)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(*[F.avg(F.col("vec")[i]) for i in range(dim)]).alias("new_centroid"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        centroids = (
+            centroids.join(means, "cell", "left")
+            .select("cell", F.coalesce("new_centroid", "centroid").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmin cell per vector: broadcast centroids, score, keep min by
+    (distance, cell) — deterministic tiebreak."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn("d", _sq_dist("vec", "centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cell", "d")
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry (rows-only): final cell assignment + per-cell sizes."""
+    v = _vectors(spark, sf_dir)
+    centroids = kmeans_fit(v)
+    assigned = assign_cells(v, centroids)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.round(F.sum("d"), 4).alias("cell_sse"))
+        .orderBy("cell")
+    )
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat search with a LEARNED coarse quantizer, nprobe=1: assign
+    corpus and queries to k-means cells, search only the query's cell.
+    Rows-only (depends on float centroids)."""
+    v = _vectors(spark, sf_dir)
+    centroids = kmeans_fit(v)
+    assigned = assign_cells(v, centroids).select("vec_id", "vec", "cell")
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell"
+    )
+    corpus = assigned.select(F.col("vec_id").alias("cand_id"), F.col("vec").alias("cvec"), "cell")
+    scored = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("d", _sq_dist("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+CLUSTERING_QUERIES = [
+    Q("kmeans_cells", kmeans_cells, None, "Lloyd k-means cell build (invariants in pytest)"),
+    Q("ann_ivf_kmeans", ann_ivf_kmeans, None, "IVF search over learned centroids"),
+]

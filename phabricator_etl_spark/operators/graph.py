@@ -56,7 +56,21 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint(eager=True)
+    # Size the iteration's partitioning to the graph: a fixed 32-partition
+    # layout on a small graph means every round pays 32x task overhead.
+    # Pre-hash-partition edges by join side and labels by id so each round's
+    # equi-join reuses the layout instead of exchanging both sides again.
+    n_edges = sym.count()
+    spark = sym.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(2, min(default_parts, n_edges // 100_000 + 2))
+    sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
+
+    labels = (
+        vertices.select(F.col("id"), F.col("id").alias("component"))
+        .repartition(parts, "id")
+        .localCheckpoint(eager=True)
+    )
 
     # Convergence detection: labels are elementwise NON-INCREASING (every
     # update takes a min), so for numeric ids the global sum(component)

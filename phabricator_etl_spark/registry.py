@@ -51,6 +51,18 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .operators.iterative import ITERATIVE_QUERIES
+
+        queries.extend(ITERATIVE_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .operators.clustering import CLUSTERING_QUERIES
+
+        queries.extend(CLUSTERING_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .plans.extensions import EXTENSION_QUERIES
 
         queries.extend(EXTENSION_QUERIES)

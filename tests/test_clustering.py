@@ -1,0 +1,77 @@
+"""Semantic invariants for the float-valued iterative operators (k-means,
+PageRank) that cross-engine hashing can't check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from phabricator_etl_spark.operators.clustering import (
+    K_CELLS,
+    _vectors,
+    assign_cells,
+    kmeans_fit,
+)
+from phabricator_etl_spark.operators.iterative import graph_pagerank, pagerank
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_smoke):
+    return _vectors(spark, sf_smoke).localCheckpoint(eager=True)
+
+
+def test_kmeans_sse_monotone(spark, vectors):
+    """Lloyd's must never increase total SSE iteration over iteration."""
+    sses = []
+    for iters in (1, 2, 4):
+        cents = kmeans_fit(vectors, iterations=iters)
+        sse = assign_cells(vectors, cents).agg(F.sum("d")).collect()[0][0]
+        sses.append(sse)
+    assert sses[0] >= sses[1] >= sses[2], f"SSE must be non-increasing: {sses}"
+
+
+def test_kmeans_assignment_is_argmin(spark, vectors):
+    cents = kmeans_fit(vectors, iterations=2)
+    assigned = assign_cells(vectors, cents)
+    # recompute distance to EVERY centroid; the assigned one must be minimal
+    all_d = (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(F.col("vec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("best"))
+    )
+    joined = assigned.join(all_d, "vec_id")
+    bad = joined.filter(F.col("d") > F.col("best") + 1e-9).count()
+    assert bad == 0, f"{bad} vectors assigned to a non-nearest cell"
+
+
+def test_kmeans_all_cells_populated(spark, vectors):
+    cents = kmeans_fit(vectors)
+    n = assign_cells(vectors, cents).select("cell").distinct().count()
+    assert n == K_CELLS
+
+
+def test_pagerank_mass_conservation(spark, sf_smoke):
+    pr = graph_pagerank(spark, sf_smoke)
+    n = pr.count()
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - n) / n < 1e-6, f"rank mass {total} != |V| {n}"
+    assert pr.filter(F.col("rank") <= 0).count() == 0
+
+
+def test_pagerank_star_graph(spark):
+    """Closed-form sanity: in a star (all -> hub), the hub's rank dominates."""
+    v = spark.range(10).select(F.col("id"))
+    e = spark.range(1, 10).select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+    pr = pagerank(v, e, iterations=20).collect()
+    ranks = {r.id: r.rank for r in pr}
+    assert ranks[0] == max(ranks.values())
+    spokes = [ranks[i] for i in range(1, 10)]
+    assert max(spokes) - min(spokes) < 1e-9, "spokes must have equal rank"
