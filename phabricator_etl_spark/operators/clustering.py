@@ -89,10 +89,22 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fitted centroid table is deterministic per sf_dir; both gate entries
+# need it, so cache the (checkpointed) result per session+path.
+_FIT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _FIT_CACHE:
+        _FIT_CACHE[key] = kmeans_fit(_vectors(spark, sf_dir))
+    return _FIT_CACHE[key]
+
+
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry (rows-only): final cell assignment + per-cell sizes."""
     v = _vectors(spark, sf_dir)
-    centroids = kmeans_fit(v)
+    centroids = _fitted(spark, sf_dir)
     assigned = assign_cells(v, centroids)
     return (
         assigned.groupBy("cell")
@@ -106,7 +118,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and queries to k-means cells, search only the query's cell.
     Rows-only (depends on float centroids)."""
     v = _vectors(spark, sf_dir)
-    centroids = kmeans_fit(v)
+    centroids = _fitted(spark, sf_dir)
     assigned = assign_cells(v, centroids).select("vec_id", "vec", "cell")
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell"

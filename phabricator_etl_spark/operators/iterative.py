@@ -28,22 +28,45 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 5
     seeds: DataFrame(id); edges: DataFrame(src, dst).
     Returns (id, distance) for every reachable vertex (seeds at 0).
     """
-    dist = seeds.select(F.col("id"), F.lit(0).cast("long").alias("distance")).localCheckpoint(eager=True)
+    # Size the per-round layout to the graph (same trick as graph.py):
+    # hash-partition edges by src once; every round's frontier join then
+    # exchanges only the (small) frontier side.
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(2, min(default_parts, n_edges // 100_000 + 2))
+    edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
+
+    dist = (
+        seeds.select(F.col("id"), F.lit(0).cast("long").alias("distance"))
+        .repartition(parts, "id")
+        .localCheckpoint(eager=True)
+    )
     frontier = dist
+    settled_chunks = [dist]  # checkpointed pieces; union only at the end
     for hop in range(1, max_iterations + 1):
+        # one anti-join against the lazy union of checkpointed chunks: the
+        # union is a plan over already-cached partitions, so no extra
+        # materialization per round
+        settled_ids = settled_chunks[0].select("id")
+        for chunk in settled_chunks[1:]:
+            settled_ids = settled_ids.unionByName(chunk.select("id"))
         reached = (
             edges.join(frontier, edges.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(dist.select("id"), "id", "left_anti")
+            .join(settled_ids, "id", "left_anti")
             .withColumn("distance", F.lit(hop).cast("long"))
             .localCheckpoint(eager=True)
         )
         if reached.isEmpty():
             break
-        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        settled_chunks.append(reached)
         frontier = reached
-    return dist
+    out = settled_chunks[0]
+    for chunk in settled_chunks[1:]:
+        out = out.unionByName(chunk)
+    return out
 
 
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
