@@ -69,11 +69,63 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 5
     return out
 
 
+def pointer_jump_distances(
+    seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 40
+) -> DataFrame:
+    """Hop distance from seeds over an IN-FOREST (every vertex has at most one
+    incoming edge; seeds are the roots) by pointer jumping — Wyllie's parallel
+    list ranking.
+
+    Each round, every vertex's known-ancestor pointer jumps to its ancestor's
+    ancestor, accumulating the hop count, so the compressed path length
+    doubles per round: O(log diameter) rounds and self-joins vs frontier
+    BFS's O(diameter). At 100 TB this is the difference between ~30 shuffle
+    rounds and ~5 for long chains (e.g. event/session successor graphs).
+
+    Falls under the same semantics as ``bfs_distances`` when the graph is a
+    forest rooted at the seeds; use ``bfs_distances`` for general graphs.
+    """
+    seeds = seeds.select("id").localCheckpoint(eager=True)
+    # Non-root vertices start pointing at their parent, one hop away.
+    ptr = edges.select(
+        F.col("dst").alias("id"),
+        F.col("src").alias("anc"),
+        F.lit(1).cast("long").alias("distance"),
+    ).localCheckpoint(eager=True)
+    # distance is elementwise non-decreasing and strictly increases somewhere
+    # iff any pointer can still jump, so one scalar sum detects the fixpoint.
+    prev_sum = ptr.agg(F.sum("distance")).collect()[0][0] or 0
+    for _ in range(max_iterations):
+        j = ptr.select(
+            F.col("id").alias("j_id"),
+            F.col("anc").alias("j_anc"),
+            F.col("distance").alias("j_d"),
+        )
+        ptr = (
+            ptr.join(j, ptr.anc == j.j_id, "left")
+            .select(
+                "id",
+                F.coalesce("j_anc", "anc").alias("anc"),
+                (F.col("distance") + F.coalesce("j_d", F.lit(0))).alias("distance"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = ptr.agg(F.sum("distance")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # Keep only vertices whose terminal ancestor is a seed (reachability), and
+    # the seeds themselves at distance 0.
+    reached = ptr.join(seeds.withColumnRenamed("id", "anc"), "anc").select("id", "distance")
+    return seeds.select("id", F.lit(0).cast("long").alias("distance")).unionByName(reached)
+
+
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BFS over each customer's order chain (consecutive orders linked, as in
-    a8), seeded at every customer's first order. The hop distance has a
-    closed form — position in the chain — which is the oracle: a nontrivial
-    iterative execution checked against an exact analytic answer."""
+    """Hop distance over each customer's order chain (consecutive orders
+    linked, as in a8), seeded at every customer's first order. The distance
+    has a closed form — position in the chain — which is the oracle: a
+    nontrivial iterative execution checked against an exact analytic answer.
+    The chain graph is an in-forest, so pointer jumping applies."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     chained = o.withColumn("prev", F.lag("o_orderkey").over(w))
@@ -81,7 +133,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev").alias("src"), F.col("o_orderkey").alias("dst")
     )
     seeds = chained.filter(F.col("prev").isNull()).select(F.col("o_orderkey").alias("id"))
-    return bfs_distances(seeds, edges).select(
+    return pointer_jump_distances(seeds, edges).select(
         F.col("id").cast("long").alias("o_orderkey"),
         F.col("distance").alias("hops_from_first"),
     )

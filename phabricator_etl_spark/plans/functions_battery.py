@@ -1,0 +1,281 @@
+"""Scalar-function batteries: strings, dates, arrays, multiset set-ops,
+unpivot.
+
+The reference's scalar surface is tiny (SURVEY.md §2.8: JSON + prefix tests +
+epoch bucketing); a usable engine needs the full everyday function library.
+Each battery packs many functions into one gated query so the DuckDB oracle
+certifies exact cross-engine semantics — including the classic portability
+traps, handled explicitly:
+
+- Spark ``dayofweek`` is 1-based Sunday=1; DuckDB ``EXTRACT(dow)`` is 0-based
+  Sunday=0 (oracle adds 1).
+- ``regexp_extract`` returns '' on no-match in BOTH engines (probed, not
+  assumed).
+- Date-typed results are formatted to strings before hashing so date vs
+  timestamp representation differences can't leak into the comparison.
+
+All batteries are pure projections (no shuffle) except the set-ops and
+unpivot queries — at 100 TB every function here runs inside whole-stage
+codegen; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+
+
+# --------------------------------------------------------------------------
+# String battery over documents.text — one row per doc, 12 functions.
+# --------------------------------------------------------------------------
+
+def fn_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.upper(F.col("lang")).alias("lang_upper"),
+        F.lower(F.substring(t, 1, 12)).alias("head_lower"),
+        F.length(t).cast("long").alias("text_len"),
+        F.trim(F.substring(t, 1, 8)).alias("head_trim"),
+        F.lpad(F.col("lang"), 5, "_").alias("lang_lpad"),
+        F.rpad(F.col("lang"), 5, ".").alias("lang_rpad"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.repeat(F.col("lang"), 2).alias("lang_x2"),
+        F.instr(t, "the").cast("long").alias("the_pos"),
+        t.contains("data").alias("has_data"),
+        F.regexp_extract(t, r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_replace(F.substring(t, 1, 20), r"\s+", "_").alias("head_snake"),
+        F.translate(F.col("lang"), "aeiou", "AEIOU").alias("lang_caps_vowels"),
+        F.concat_ws("|", F.col("lang"), F.col("source")).alias("lang_source"),
+        F.split(t, r"\s+").getItem(0).alias("first_token"),
+    )
+
+
+FN_STRING_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       UPPER(lang) AS lang_upper,
+       LOWER(text[1:12]) AS head_lower,
+       CAST(LENGTH(text) AS BIGINT) AS text_len,
+       TRIM(text[1:8]) AS head_trim,
+       LPAD(lang, 5, '_') AS lang_lpad,
+       RPAD(lang, 5, '.') AS lang_rpad,
+       REVERSE(lang) AS lang_rev,
+       REPEAT(lang, 2) AS lang_x2,
+       CAST(STRPOS(text, 'the') AS BIGINT) AS the_pos,
+       CONTAINS(text, 'data') AS has_data,
+       regexp_extract(text, '([0-9]+)', 1) AS first_number,
+       regexp_replace(text[1:20], '\s+', '_', 'g') AS head_snake,
+       translate(lang, 'aeiou', 'AEIOU') AS lang_caps_vowels,
+       lang || '|' || source AS lang_source,
+       regexp_split_to_array(text, '\s+')[1] AS first_token
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Date battery over orders.o_orderdate — extraction, truncation, arithmetic.
+# --------------------------------------------------------------------------
+
+def fn_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("long").alias("days_since_epoch_start"),
+        F.unix_timestamp(d).cast("long").alias("epoch_s"),
+    )
+
+
+FN_DATE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+       CAST(EXTRACT(dow FROM o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+       CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS iso_week,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+         AS days_since_epoch_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Array battery over tokenized documents.text — construction, slicing,
+# sorting, joining, membership, higher-order transform/filter/aggregate.
+# --------------------------------------------------------------------------
+
+def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.array_sort(F.slice(toks, 1, 4)), ",").alias("first4_sorted"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).cast("long").alias("max_token_len"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("long").alias("n_long_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+    )
+
+
+FN_ARRAY_ORACLE = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, regexp_split_to_array(text, '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       array_to_string(toks[1:3], ' ') AS first3,
+       toks[-1] AS last_token,
+       list_contains(toks, 'the') AS has_the,
+       array_to_string(list_sort(toks[1:4]), ',') AS first4_sorted,
+       CAST(list_max(list_transform(toks, x -> LENGTH(x))) AS BIGINT) AS max_token_len,
+       CAST(len(list_filter(toks, x -> LENGTH(x) > 5)) AS BIGINT) AS n_long_tokens,
+       CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS BIGINT) AS sum_token_len
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Multiset set-ops: EXCEPT ALL / INTERSECT ALL keep duplicate multiplicity —
+# bag semantics the dedup-flavored setops_key_algebra (DataFrame
+# distinct-ops) doesn't cover. Spark plans these as aggregate+generate
+# (count per row, then replicate) — one shuffle each.
+# --------------------------------------------------------------------------
+
+def fn_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") <= 30).select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    ex = a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).withColumn("op", F.lit("except_all"))
+    ix = a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).withColumn("op", F.lit("intersect_all"))
+    return ex.unionByName(ix).select(F.col("op"), F.col("k").cast("long").alias("k"), F.col("n"))
+
+
+FN_MULTISET_ORACLE = """
+WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity <= 30),
+     b AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+     ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+     ix AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+SELECT 'except_all' AS op, CAST(k AS BIGINT) AS k, COUNT(*) AS n FROM ex GROUP BY k
+UNION ALL
+SELECT 'intersect_all' AS op, CAST(k AS BIGINT) AS k, COUNT(*) AS n FROM ix GROUP BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide -> long): the inverse of pivot_status_matrix. Spark's
+# ``unpivot`` compiles to Expand (each input row emits one output row per
+# measure) — no shuffle, linear output.
+# --------------------------------------------------------------------------
+
+def fn_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("discount_bp"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["price_cents", "discount_bp", "tax_bp"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+FN_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS discount_bp,
+         CAST(ROUND(l_tax * 10000) AS BIGINT) AS tax_bp
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, 'price_cents' AS measure, price_cents AS amount FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount_bp', discount_bp FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax_bp', tax_bp FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# Null-handling battery: nullif / nvl / nvl2 / coalesce chains / null-safe
+# equality (<=>). The reference leans on Python truthiness (C2/C4); these are
+# the SQL-native equivalents an engine must expose.
+# --------------------------------------------------------------------------
+
+def fn_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # Manufacture nulls deterministically: value > 50 -> null bucket.
+    v = F.when(F.col("value") <= 50, F.col("value"))
+    w = F.when(F.col("value") > 20, F.col("value"))
+    vc = F.round(v * 100).cast("long")
+    wc = F.round(w * 100).cast("long")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_no_error"),
+        F.coalesce(vc, wc, F.lit(-1)).alias("first_present"),
+        F.nvl(vc, F.lit(0)).alias("v_or_zero"),
+        F.nvl2(vc, F.lit("small"), F.lit("large")).alias("size_class"),
+        (vc.eqNullSafe(wc)).alias("v_eq_w_nullsafe"),
+        vc.isNull().alias("v_is_null"),
+    )
+
+
+FN_NULL_ORACLE = """
+WITH base AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+         CASE WHEN value <= 50 THEN CAST(ROUND(value * 100) AS BIGINT) END AS vc,
+         CASE WHEN value > 20 THEN CAST(ROUND(value * 100) AS BIGINT) END AS wc
+  FROM events
+)
+SELECT event_id,
+       NULLIF(event_type, 'error') AS type_no_error,
+       COALESCE(vc, wc, -1) AS first_present,
+       COALESCE(vc, 0) AS v_or_zero,
+       CASE WHEN vc IS NOT NULL THEN 'small' ELSE 'large' END AS size_class,
+       (vc IS NOT DISTINCT FROM wc) AS v_eq_w_nullsafe,
+       vc IS NULL AS v_is_null
+FROM base
+"""
+
+
+FUNCTIONS_BATTERY_QUERIES = [
+    Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
+    Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
+    Q("fn_array_battery", fn_array_battery, FN_ARRAY_ORACLE, "array + higher-order functions"),
+    Q("fn_multiset_ops", fn_multiset_ops, FN_MULTISET_ORACLE, "EXCEPT ALL / INTERSECT ALL bags"),
+    Q("fn_unpivot_measures", fn_unpivot_measures, FN_UNPIVOT_ORACLE, "unpivot wide->long"),
+    Q("fn_null_battery", fn_null_battery, FN_NULL_ORACLE, "nullif/nvl/nvl2/<=> battery"),
+]

@@ -15,6 +15,18 @@ def all_queries() -> list[Q]:
 
     queries.extend(RELATIONAL_QUERIES)
     try:
+        from .plans.tpch_extra import TPCH_EXTRA_QUERIES
+
+        queries.extend(TPCH_EXTRA_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .plans.functions_battery import FUNCTIONS_BATTERY_QUERIES
+
+        queries.extend(FUNCTIONS_BATTERY_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .plans.phab_queries import PHAB_QUERIES
 
         queries.extend(PHAB_QUERIES)
