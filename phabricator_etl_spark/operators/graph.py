@@ -45,26 +45,29 @@ def connected_components(
     Returns DataFrame(id, component) where ``component`` is the min vertex id
     of the component.
     """
-    # Symmetrize once: each undirected edge appears in both directions, so one
-    # equi-join per iteration covers both traversal directions (the
-    # reference's `or_(src IN frontier, dst IN frontier)`, stats.py:327-331).
-    sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
-    )
-
     # Size the iteration's partitioning to the graph: a fixed 32-partition
     # layout on a small graph means every round pays 32x task overhead.
     # Pre-hash-partition edges by join side and labels by id so each round's
     # equi-join reuses the layout instead of exchanging both sides again.
-    n_edges = sym.count()
-    spark = sym.sparkSession
+    n_edges = edges.count()
+    spark = edges.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parts = max(2, min(default_parts, n_edges // 100_000 + 2))
-    sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
+    parts = max(2, min(default_parts, (2 * n_edges) // 100_000 + 2))
+
+    # Symmetrize once: each undirected edge appears in both directions, so one
+    # equi-join per iteration covers both traversal directions (the
+    # reference's `or_(src IN frontier, dst IN frontier)`, stats.py:327-331).
+    # Duplicates and self-loops are NOT removed — min-propagation is
+    # idempotent over them, and the dropDuplicates shuffle costs more than the
+    # marginal groupBy work they add. One shuffle (the repartition) + one
+    # materialization covers symmetrize + layout.
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .repartition(parts, "b")
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         vertices.select(F.col("id"), F.col("id").alias("component"))
@@ -83,16 +86,15 @@ def connected_components(
     prev_sum = labels.agg(F.sum("component")).collect()[0][0] if numeric_ids else None
 
     for _ in range(max_iterations):
-        # Candidate labels flowing across edges: neighbor's current label.
-        neighbor_labels = (
+        # Candidate labels flowing across edges (neighbor's current label),
+        # folded into one groupBy with the vertex's own label — the union
+        # replaces a separate left-join-back, saving a shuffle per round.
+        hop = (
             sym.join(labels, sym.b == labels.id)
             .select(F.col("a").alias("id"), F.col("component").alias("cand"))
+            .unionByName(labels.select("id", F.col("component").alias("cand")))
             .groupBy("id")
-            .agg(F.min("cand").alias("cand"))
-        )
-        hop = labels.join(neighbor_labels, "id", "left").select(
-            "id",
-            F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component"),
+            .agg(F.min("cand").alias("component"))
         )
         # Pointer doubling (path compression): component <- label(component).
         # The neighbor-min hop alone needs O(diameter) rounds; composing it

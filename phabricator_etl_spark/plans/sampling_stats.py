@@ -1,0 +1,208 @@
+"""Deterministic sampling, banded range join, histograms, approximate aggs.
+
+LLM-scale pipeline staples beyond the reference surface:
+
+- **Deterministic hash sampling** (Bernoulli + stratified): train/test splits
+  must be reproducible across runs AND engines, so the sample membership
+  predicate is a content hash (md5, shared with the dedup family), never
+  ``rand()``. At 100 TB the predicate pushes to the scan and costs one hash
+  per row — no shuffle, no state.
+- **Banded range join**: the scalable rewrite of an interval/theta join —
+  bucket the time axis, explode the (tiny, bounded) candidate bucket set on
+  one side, equi-join on (key, bucket), then apply the exact range as a
+  residual filter. Spark executes a shuffled hash join on (key, bucket)
+  instead of a nested-loop theta join; the oracle runs the plain inequality
+  join to certify the rewrite is exact.
+- **Histogram binning**: fixed-width bins via floor arithmetic (portable;
+  width_bucket semantics differ across engines).
+- **Approximate aggregates** (HLL distinct, quantile sketch): sketch
+  internals are engine-specific, so these are rows-only gate entries whose
+  accuracy bounds are pytest-checked against exact answers
+  (tests/test_sampling_stats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+from ..functions.hashing import md5_long, md5_long_sql
+
+SAMPLE_PCT = 10  # Bernoulli rate, percent
+BUCKET_S = 3600  # range-join band width: 1 hour
+
+
+# --------------------------------------------------------------------------
+# Deterministic Bernoulli sample: keep a row iff md5(key) mod 100 < pct.
+# --------------------------------------------------------------------------
+
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.filter(md5_long(key) % 100 < SAMPLE_PCT)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SAMPLE_BERNOULLI_ORACLE = f"""
+SELECT l_returnflag, COUNT(*) AS n_sampled, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem
+WHERE {md5_long_sql("l_orderkey || '|' || l_linenumber")} % 100 < {SAMPLE_PCT}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sample: per-stratum rates (downsample the huge stratum, keep
+# the rare ones) — the canonical class-balance pass before training.
+# --------------------------------------------------------------------------
+
+_STRATA_RATES = {"AUTOMOBILE": 50, "BUILDING": 20, "FURNITURE": 10, "HOUSEHOLD": 5, "MACHINERY": 100}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    rate = F.lit(None).cast("long")
+    expr = None
+    for seg, pct in _STRATA_RATES.items():
+        expr = F.when(F.col("c_mktsegment") == seg, F.lit(pct)) if expr is None else expr.when(
+            F.col("c_mktsegment") == seg, F.lit(pct)
+        )
+    rate = expr.otherwise(F.lit(0))
+    return (
+        c.filter(md5_long(F.col("c_custkey").cast("string")) % 100 < rate)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_RATE_CASE = " ".join(f"WHEN c_mktsegment = '{seg}' THEN {pct}" for seg, pct in _STRATA_RATES.items())
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_sampled
+FROM customer
+WHERE {md5_long_sql("CAST(c_custkey AS VARCHAR)")} % 100 < (CASE {_RATE_CASE} ELSE 0 END)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Banded range join: for each purchase, count this user's clicks in the
+# preceding hour. Purchases explode to 2 candidate hour-buckets; clicks carry
+# their own bucket; equi-join on (user_id, bucket) + exact residual filter.
+# --------------------------------------------------------------------------
+
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        (F.unix_timestamp("ts") / BUCKET_S).cast("long").alias("bucket"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        (F.unix_timestamp("ts") / BUCKET_S).cast("long").alias("pb"),
+    )
+    cand = purchases.withColumn("bucket", F.explode(F.array(F.col("pb") - 1, F.col("pb"))))
+    joined = cand.join(
+        clicks, (cand.p_user == clicks.c_user) & (cand.bucket == clicks.bucket)
+    ).filter(
+        (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {BUCKET_S} SECOND"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("clicks_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+RANGE_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS clicks_1h
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram via floor arithmetic (portable width_bucket).
+# --------------------------------------------------------------------------
+
+HIST_WIDTH_CENTS = 5_000_00  # $5k bins
+
+
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(F.floor(cents / HIST_WIDTH_CENTS).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / {HIST_WIDTH_CENTS}) AS BIGINT) AS bin,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates — rows-only gates (sketches are engine-specific);
+# accuracy vs exact is pytest-bounded in tests/test_sampling_stats.py.
+# --------------------------------------------------------------------------
+
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(cents.alias("cents")).agg(
+        F.percentile_approx("cents", [0.1, 0.5, 0.9], 10_000).alias("p10_p50_p90"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+SAMPLING_STATS_QUERIES = [
+    Q("sample_hash_bernoulli", sample_hash_bernoulli, SAMPLE_BERNOULLI_ORACLE, "deterministic 10% hash sample"),
+    Q("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-stratum hash rates"),
+    Q("range_join_attribution", range_join_attribution, RANGE_JOIN_ORACLE, "banded range join vs inequality oracle"),
+    Q("histogram_order_totals", histogram_order_totals, HISTOGRAM_ORACLE, "fixed-width histogram"),
+    Q("approx_distinct_sketch", approx_distinct_sketch, None, "HLL distinct (pytest-bounded)"),
+    Q("approx_quantiles_price", approx_quantiles_price, None, "quantile sketch (pytest-bounded)"),
+]

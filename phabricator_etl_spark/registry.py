@@ -27,6 +27,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.sampling_stats import SAMPLING_STATS_QUERIES
+
+        queries.extend(SAMPLING_STATS_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .plans.phab_queries import PHAB_QUERIES
 
         queries.extend(PHAB_QUERIES)
