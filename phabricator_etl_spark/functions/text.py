@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..query import Q
 from ..sources.catalog import load_table as _t
+from ..operators.dedup import _spread
 from .hashing import md5_long_sql
 
 # Tokenization: split on whitespace runs. Spark split(col, '\\s+') and DuckDB
@@ -50,7 +51,7 @@ def _token_in(markers: list[str]):
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + length stats: one narrow projection, no shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = _tokens()
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -79,7 +80,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-token occurrence counts, argmax with a
     fixed tie order. Pure expressions — the per-language score columns are
     computed in one pass over the token array (no explode, no shuffle)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = _tokens()
     scored = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -140,7 +141,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring with exact integer arithmetic: length component
     (capped), vocabulary-diversity component, punctuation penalty. The score
     is an integer so the cross-engine compare is bit-exact."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = _tokens()
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -181,7 +182,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h <- (h * 31 + md5_long(token) mod 2^30) mod 2^31. F.aggregate folds the
     token array left-to-right inside codegen — same fold order as DuckDB's
     list_reduce, so the fingerprints agree exactly."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = _tokens()
     fp = F.aggregate(
         toks,

@@ -97,6 +97,10 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No _spread here: the fit loop is scheduling-bound (5 sequential tiny
+    # rounds), so fanning 2k vectors across 32 partitions adds task overhead
+    # per round without parallelism payoff. The heavy-projection operators
+    # (dedup, text, multimodal) DO spread — their cost is per-row compute.
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
         F.col("vec_id").cast("long").alias("vec_id"),

@@ -104,8 +104,20 @@ JACCARD_THRESHOLD_X1000 = 300
 MAX_SHINGLE_DF = 50  # posting-list cap: shingles in more docs are stopwords
 
 
+def _spread(d: DataFrame) -> DataFrame:
+    """Fan a small scan out across the cluster before CPU-heavy per-row work.
+
+    The documents table arrives as one parquet file -> ONE scan partition
+    (a single row group can't be split), so any expensive projection after it
+    runs on a single core unless we repartition first. The shuffle moves a
+    few MB; the projection gains full parallelism. At 100 TB inputs arrive
+    as many files and this becomes a no-op-sized safeguard for stragglers."""
+    target = d.sparkSession.sparkContext.defaultParallelism
+    return d.repartition(target) if d.rdd.getNumPartitions() < target else d
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     # cache: the exploded+hashed posting list feeds three consumers (sizes,
     # document-frequency cap, and the pair join) — without it Spark re-runs
     # the explode+md5 scan per consumer
@@ -173,25 +185,27 @@ WHERE round(1000.0 * inter / (sa.sz + sb.sz - inter)) >= {JACCARD_THRESHOLD_X100
 # ---------------------------------------------------------------------------
 
 def _seeded(a: int, b: int):
-    # single-arg lambda factory (default args would change the HOF arity)
-    return lambda s: (F.lit(a) * (md5_long(s) % F.lit(MOD30)) + F.lit(b)) % F.lit(MERSENNE31)
+    # single-arg lambda factory (default args would change the HOF arity);
+    # operates on the PRE-HASHED shingle value so md5 runs once per shingle,
+    # not once per (shingle, seed) — an 8x reduction in hashing work
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
 
 
 def _minhash_cols() -> list[F.Column]:
     return [
-        F.array_min(F.transform(F.col("shingles"), _seeded(a, b))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("hs"), _seeded(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(hash_seeds(NUM_MINHASHES))
     ]
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     # cache: the signature table feeds the banding explode AND both sides of
-    # the verify join; the 8 array_min(md5...) passes are the expensive part
+    # the verify join; the seeded array_min passes are the expensive part
     sig = (
         d.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            _shingles().alias("shingles"),
+            F.transform(_shingles(), lambda s: md5_long(s) % F.lit(MOD30)).alias("hs"),
         )
         .select("doc_id", *_minhash_cols())
         .localCheckpoint(eager=True)
@@ -269,7 +283,7 @@ DEDUP_MINHASH_ORACLE = _minhash_lsh_oracle()
 # ---------------------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), _TOKEN_RE)
     base = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -335,7 +349,7 @@ def _sign_bucket(qcol: F.Column) -> F.Column:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _quantize(F.col("embedding")).alias("qe"),

@@ -159,6 +159,13 @@ def pagerank(
     n = vertices.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    # The dangling-vertex SET is static across iterations; precompute it once
+    # so each round only sums ranks over it.
+    dangling_ids = (
+        vertices.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
     ranks = vertices.select("id", F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
     for _ in range(iterations):
         contribs = (
@@ -167,17 +174,22 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .collect()[0][0]
+        # Dangling mass stays a one-row DataFrame broadcast-crossed into the
+        # update — no driver collect(), so each round is ONE job (the
+        # checkpoint) instead of two.
+        dmass = ranks.join(dangling_ids, "id", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
-        base = (1.0 - damping) + damping * dangling / n
         ranks = (
             vertices.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dmass") / F.lit(float(n)))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )

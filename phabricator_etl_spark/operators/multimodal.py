@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from ..query import Q
 from ..sources.catalog import load_table as _t
+from .dedup import _spread
 
 FRAME_BYTES = 64  # fake "frame" stride for the frame-sampler
 
@@ -54,7 +55,7 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
 def _binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload binary, meta struct) — the canonical
     multimodal table shape: opaque bytes + typed metadata."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.encode("text", "utf-8").alias("payload"),

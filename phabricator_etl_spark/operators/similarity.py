@@ -35,7 +35,9 @@ SKETCH_DIMS = 8
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    from .dedup import _spread
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("label").cast("long").alias("label"),

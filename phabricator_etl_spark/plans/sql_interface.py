@@ -1,0 +1,116 @@
+"""The SQL surface: queries expressed as ``spark.sql`` text, not DataFrame
+calls.
+
+The reference has no query language at all (SQLAlchemy ORM only); this engine
+exposes full ANSI SQL through Spark SQL. These gate entries certify the
+text-SQL path end-to-end — view registration, parsing, Catalyst's correlated
+subquery DECORRELATION (EXISTS / IN / scalar subqueries become joins; there
+is no per-row subquery execution at any scale), CTEs, and window functions —
+against the same DuckDB oracles as the DataFrame queries.
+
+Views are registered per (session, sf_dir) once; temp views are metadata
+only, so registration costs nothing at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..query import Q
+from ..sources.catalog import load_table
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
+    for t in _TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _REGISTERED.add(key)
+
+
+# Each query is ONE SQL text valid in both Spark SQL and DuckDB, so the
+# oracle string is literally the executed query — the strongest possible
+# parity statement for the SQL surface.
+
+SQL_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 45
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+SQL_SCALAR_SUBQUERY = """
+SELECT n_name, COUNT(*) AS n_above
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+  -- AVG over exact cents: the long sum is < 2^53 so the double mean is
+  -- bit-identical across engines; no cast back (int-cast rounding rules
+  -- differ: Spark truncates, DuckDB rounds)
+  SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer
+)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+SQL_IN_SUBQUERY = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey IN (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 48
+)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+SQL_CTE_WINDOW = """
+WITH nation_rev AS (
+  SELECT n_name,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue_cents,
+       RANK() OVER (ORDER BY revenue_cents DESC) AS rev_rank
+FROM nation_rev
+ORDER BY rev_rank, n_name
+"""
+
+SQL_NOT_IN_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_idle
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def _sql_query(text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(text)
+
+    return run
+
+
+SQL_INTERFACE_QUERIES = [
+    Q("sql_exists_decorrelated", _sql_query(SQL_EXISTS), SQL_EXISTS, "text-SQL EXISTS -> semi-join"),
+    Q("sql_scalar_subquery", _sql_query(SQL_SCALAR_SUBQUERY), SQL_SCALAR_SUBQUERY, "text-SQL scalar subquery"),
+    Q("sql_in_subquery", _sql_query(SQL_IN_SUBQUERY), SQL_IN_SUBQUERY, "text-SQL IN -> semi-join"),
+    Q("sql_cte_window", _sql_query(SQL_CTE_WINDOW), SQL_CTE_WINDOW, "text-SQL CTE + window rank"),
+    Q("sql_not_in_anti", _sql_query(SQL_NOT_IN_ANTI), SQL_NOT_IN_ANTI, "text-SQL NOT IN -> anti-join"),
+]

@@ -33,6 +33,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.sql_interface import SQL_INTERFACE_QUERIES
+
+        queries.extend(SQL_INTERFACE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .plans.phab_queries import PHAB_QUERIES
 
         queries.extend(PHAB_QUERIES)

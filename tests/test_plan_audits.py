@@ -109,3 +109,62 @@ def test_bucketed_join_is_colocated(spark, sf_smoke):
 def test_phab_dimension_joins_broadcast(fixtures):
     plan = _plan(P.build_all(fixtures)["review_requests"])
     assert "BroadcastHashJoin" in plan, "user/project dims must broadcast"
+
+
+def test_sql_exists_decorrelates_to_semi_join(spark, sf_smoke):
+    """Text-SQL EXISTS must become a (broadcast|shuffled) semi-join — no
+    per-row subquery node may survive (Catalyst decorrelation)."""
+    from phabricator_etl_spark.plans.sql_interface import SQL_EXISTS, register_views
+
+    register_views(spark, sf_smoke)
+    plan = _plan(spark.sql(SQL_EXISTS))
+    assert "LeftSemi" in plan or "SemiJoin" in plan, plan[:2000]
+
+
+def test_q6_filters_push_into_scan(spark, sf_smoke):
+    from phabricator_etl_spark.plans.tpch_extra import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, sf_smoke))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThanOrEqual" in pushed[0] and "LessThan" in pushed[0], pushed
+
+
+def test_q19_part_side_broadcasts(spark, sf_smoke):
+    from phabricator_etl_spark.plans.tpch_extra import q19_disjunctive
+
+    plan = _plan(q19_disjunctive(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_smoke):
+    """The banded range join must plan as a hash/sort-merge EQUI-join on
+    (user, bucket) — never BroadcastNestedLoopJoin, which is what a naive
+    inequality join degenerates to."""
+    from phabricator_etl_spark.plans.sampling_stats import range_join_attribution
+
+    plan = _plan(range_join_attribution(spark, sf_smoke))
+    assert "NestedLoop" not in plan, "range join must not be a nested-loop theta join"
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_deterministic_sample_pushes_no_shuffle(spark, sf_smoke):
+    """Hash sampling is a pure scan-side filter: the only shuffle in the plan
+    is the final aggregation's."""
+    from phabricator_etl_spark.plans.sampling_stats import sample_hash_bernoulli
+
+    plan = _plan(sample_hash_bernoulli(spark, sf_smoke))
+    # allowed: the aggregation's partial->final Exchange and the presentation
+    # orderBy's range Exchange; anything more means the sampling predicate
+    # itself shuffled
+    # In the tree section, nothing below the partial (deepest) HashAggregate
+    # may exchange: the sampling predicate evaluates scan-side.
+    tree = []
+    for ln in plan.splitlines():
+        if ln.strip() == "" or ln.startswith("(1)"):
+            break
+        tree.append(ln)
+    n_exchanges = sum("Exchange" in ln for ln in tree)
+    assert n_exchanges <= 2, f"expected agg+sort exchanges only, got:\n{plan}"
+    last_agg = max(i for i, ln in enumerate(tree) if "HashAggregate" in ln)
+    below = "\n".join(tree[last_agg + 1 :])
+    assert "Exchange" not in below, f"exchange below the partial aggregate:\n{below}"
