@@ -28,11 +28,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+LOCAL_EDGE_THRESHOLD = 4096
+
+
+def _local_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for subcritical graphs.
+
+    The distributed fixpoint costs O(rounds) scheduled jobs regardless of
+    data size; for a graph of a few thousand edges that is pure scheduling
+    overhead. This is the graph analog of a broadcast join's size cutover:
+    below the threshold, solve on the driver in microseconds and ship the
+    result back as a (tiny) local relation. Exact same contract as the
+    distributed path (min-id labeling), asserted equal in tests.
+    """
+    ids = [r[0] for r in vertices.select("id").collect()]
+    parent: dict = {v: v for v in ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.select("src", "dst").collect():
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    # min id per root = the component label the distributed path produces
+    min_of_root: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in min_of_root or v < min_of_root[r]:
+            min_of_root[r] = v
+    rows = [(v, min_of_root[find(v)]) for v in ids]
+    schema = vertices.select(
+        F.col("id"), F.col("id").alias("component")
+    ).schema
+    return vertices.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     *,
     max_iterations: int = 50,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Compute undirected connected components.
 
@@ -41,6 +87,9 @@ def connected_components(
     vertices: DataFrame with one column ``id`` (any orderable/comparable type).
     edges: DataFrame with columns ``src``, ``dst`` (same type as ``id``).
         Treated as undirected; self-loops and duplicates are fine.
+    local_threshold: graphs with at most this many edges are solved with a
+        driver union-find (see ``_local_components``); pass 0 to force the
+        distributed fixpoint.
 
     Returns DataFrame(id, component) where ``component`` is the min vertex id
     of the component.
@@ -49,7 +98,18 @@ def connected_components(
     # layout on a small graph means every round pays 32x task overhead.
     # Pre-hash-partition edges by join side and labels by id so each round's
     # equi-join reuses the layout instead of exchanging both sides again.
+    # Persist the edge list before the first action: the size probe, the
+    # local-path collect, and the symmetrize union (which reads edges TWICE)
+    # would otherwise each re-execute the upstream plan — often a multi-join
+    # pipeline far more expensive than the edge list itself. MEMORY_AND_DISK
+    # (the default) spills rather than OOMs at scale — the GraphX pattern.
+    edges = edges.persist()
     n_edges = edges.count()
+    if n_edges <= local_threshold:
+        try:
+            return _local_components(vertices, edges)
+        finally:
+            edges.unpersist()
     spark = edges.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(default_parts, (2 * n_edges) // 100_000 + 2))
@@ -68,6 +128,7 @@ def connected_components(
         .repartition(parts, "b")
         .localCheckpoint(eager=True)
     )
+    edges.unpersist()
 
     labels = (
         vertices.select(F.col("id"), F.col("id").alias("component"))

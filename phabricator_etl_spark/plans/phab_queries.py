@@ -37,9 +37,19 @@ _TABLES = (
 NULL_MARK = "<null>"
 
 
+_WORLDS: dict[int, phab_fixtures.PhabSources] = {}
+
+
 def _ensure_world(spark: SparkSession) -> phab_fixtures.PhabSources:
     """Generate the fixture world; materialize it to parquet once so the
-    DuckDB oracles can scan the identical bytes."""
+    DuckDB oracles can scan the identical bytes.
+
+    Memoized per session: generation is pure (fixed seed), so the 8 pipeline
+    gate entries share ONE set of source DataFrames instead of re-running the
+    driver-side createDataFrame x15 (and its Arrow conversion) per query."""
+    key = id(spark)
+    if key in _WORLDS:
+        return _WORLDS[key]
     src = phab_fixtures.generate(spark, seed=FIXTURE_SEED)
     marker = os.path.join(FIXTURE_DIR, "_DONE")
     if not os.path.exists(marker):
@@ -50,6 +60,7 @@ def _ensure_world(spark: SparkSession) -> phab_fixtures.PhabSources:
             )
         with open(marker, "w") as f:
             f.write("ok\n")
+    _WORLDS[key] = src
     return src
 
 
