@@ -116,6 +116,18 @@ def all_queries() -> list[Q]:
         queries.extend(SESSION_QUERIES)
     except ImportError:
         pass
+    try:
+        from .streaming.joins import STREAM_JOIN_QUERIES
+
+        queries.extend(STREAM_JOIN_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .sources.formats import FORMAT_QUERIES
+
+        queries.extend(FORMAT_QUERIES)
+    except ImportError:
+        pass
     return queries
 
 

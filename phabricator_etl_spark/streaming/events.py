@@ -63,7 +63,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = spark.readStream.format("parquet").schema(raw_schema).load(stage)
     if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
