@@ -326,6 +326,71 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-group model fitting — the one Pandas-UDF
+# shape the engine hadn't exercised (scalar pandas_udf above, mapInPandas in
+# multimodal, applyInPandasWithState in streaming). Each group arrives as ONE
+# pandas DataFrame (so the group must fit an executor — fine for per-key
+# model fits, the canonical use), and the fit returns EXACT integer
+# sufficient statistics of the OLS slope of value_cents over day index:
+# num = n*Σxy - Σx*Σy, den = n*Σx² - (Σx)² (slope = num/den). Integer stats
+# instead of the float slope make the cross-engine compare bit-exact —
+# DuckDB recomputes the same sums in bigint.
+# ---------------------------------------------------------------------------
+
+_REGR_SCHEMA = (
+    "event_type string, n_points long, slope_num long, slope_den long"
+)
+
+
+def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    x = pdf["x"].astype("int64")
+    y = pdf["y"].astype("int64")
+    n = int(len(pdf))
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_points": [n],
+            "slope_num": [n * sxy - sx * sy],
+            "slope_den": [n * sxx - sx * sx],
+        }
+    )
+
+
+def grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return (
+        base.groupBy("event_type")
+        .applyInPandas(_fit_group, schema=_REGR_SCHEMA)
+        .orderBy("event_type")
+    )
+
+
+GROUPED_REGR_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_points,
+       COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS slope_num,
+       COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS slope_den
+FROM b
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EXTENSION_QUERIES = [
     Q("asof_join_events_orders", asof_join_events_orders, ASOF_ORACLE, "as-of join via union trick"),
     Q("window_lead_lag", window_lead_lag, LEAD_LAG_ORACLE, "lead/lag timeline"),
@@ -335,4 +400,5 @@ EXTENSION_QUERIES = [
     Q("w3_first_by_struct_min", w3_first_by_struct_min, W3_STRUCT_ORACLE, "no-window top-1 via struct-min"),
     Q("sink_partitioned_roundtrip", sink_partitioned_roundtrip, SINK_ORACLE, "ym-partitioned sink + pruned read"),
     Q("pandas_udf_quality", pandas_udf_quality, PANDAS_QUALITY_ORACLE, "Arrow pandas_udf parity"),
+    Q("grouped_map_regression", grouped_map_regression, GROUPED_REGR_ORACLE, "applyInPandas per-group OLS fit"),
 ]

@@ -642,6 +642,174 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Q11 (adapted) — important stock: per-(nation, part) revenue kept only when
+# it exceeds a threshold derived from a scalar subquery over the SAME
+# aggregate (TPC-H's HAVING > SUM(..)*fraction shape). TPC-H scales its
+# fraction by 1/SF; since this query must run unchanged at every SF, the
+# threshold is 2x the MEAN group value instead — scale-invariant (~10% of
+# groups qualify at any size). Exact integer compare (v*n_groups > 2*total)
+# so no boundary row can flip between engines. Two shuffles total: the
+# (nation, part) agg; the one-row threshold is a broadcast.
+# --------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey", _disc_cents().alias("cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum("cents").alias("value_cents"))
+    )
+    total = val.agg(
+        F.sum("value_cents").alias("total_cents"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("n_groups") > 2 * F.col("total_cents"))
+        .select(
+            "n_name",
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            "value_cents",
+        )
+        .orderBy(F.desc("value_cents"), "n_name", "l_partkey")
+    )
+
+
+Q11_ORACLE = f"""
+WITH val AS (
+  SELECT n_name, l_partkey, SUM({_DISC_CENTS_SQL}) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_partkey
+)
+SELECT n_name, CAST(l_partkey AS BIGINT) AS l_partkey, value_cents
+FROM val
+WHERE value_cents * (SELECT COUNT(*) FROM val) > 2 * (SELECT SUM(value_cents) FROM val)
+ORDER BY value_cents DESC, n_name, l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 (adapted) — promotion-eligible suppliers: nested IN subqueries. The
+# inner IN (parts named 'red…') becomes a broadcast semi-join into the
+# lineitem scan; the HAVING-qualified supplier set becomes a semi-join into
+# supplier. Catalyst plans both INs as joins — no per-row subquery at any
+# scale. Quantities are integral-valued doubles, compared as exact longs.
+# --------------------------------------------------------------------------
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    qualified = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("red_qty"))
+        .filter(F.col("red_qty") > 2000)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_suppkey
+  HAVING CAST(SUM(l_quantity) AS BIGINT) > 2000
+)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted) — suppliers who kept orders waiting: the EXISTS + NOT EXISTS
+# double correlation, TPC-H's hardest join shape. "Late" is adapted to the
+# driver schema (no commit/receipt dates): shipped more than 60 days after
+# the order date. A supplier is counted when, on a finished ('F') order, its
+# line was late, ANOTHER supplier also supplied the order (EXISTS -> semi-
+# join with a same-key/different-supplier residual), and NO OTHER supplier
+# was late on it (NOT EXISTS -> anti-join, same residual). Both become hash
+# joins on l_orderkey; the distinct (orderkey, suppkey) projections keep the
+# state minimal. One wide shuffle on orderkey serves all three legs.
+# --------------------------------------------------------------------------
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.join(
+        orders_f.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    all_pairs = lines.select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = lines.filter("late").select("l_orderkey", "l_suppkey").distinct()
+
+    l1 = late_pairs.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s"))
+    with_other = l1.join(
+        all_pairs,
+        (F.col("k") == all_pairs.l_orderkey) & (F.col("s") != all_pairs.l_suppkey),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        late_pairs,
+        (F.col("k") == late_pairs.l_orderkey) & (F.col("s") != late_pairs.l_suppkey),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp), F.col("s") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late
+), all_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lines
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late_pairs l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM all_pairs l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late_pairs l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 TPCH_EXTRA_QUERIES = [
     Q("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "correlated MIN -> struct-min join-back"),
     Q("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE, "TPC-H Q6 range-filter agg"),
@@ -649,12 +817,15 @@ TPCH_EXTRA_QUERIES = [
     Q("q8_market_share", q8_market_share, Q8_ORACLE, "TPC-H Q8 conditional-share"),
     Q("q9_product_profit", q9_product_profit, Q9_ORACLE, "TPC-H Q9 profit by nation/year"),
     Q("q10_returned_items", q10_returned_items, Q10_ORACLE, "TPC-H Q10 returns top-20"),
+    Q("q11_important_stock", q11_important_stock, Q11_ORACLE, "TPC-H Q11 scalar-subquery HAVING (above-mean)"),
     Q("q12_priority_classes", q12_priority_classes, Q12_ORACLE, "TPC-H Q12 conditional counts"),
     Q("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE, "TPC-H Q14 promo ratio"),
     Q("q15_top_supplier", q15_top_supplier, Q15_ORACLE, "TPC-H Q15 scalar-max join-back"),
     Q("q16_supplier_diversity", q16_supplier_diversity, Q16_ORACLE, "TPC-H Q16 distinct agg"),
     Q("q17_small_quantity", q17_small_quantity, Q17_ORACLE, "TPC-H Q17 decorrelated avg"),
     Q("q19_disjunctive", q19_disjunctive, Q19_ORACLE, "TPC-H Q19 disjunctive predicate"),
+    Q("q20_promotion_suppliers", q20_promotion_suppliers, Q20_ORACLE, "TPC-H Q20 nested IN semi-joins"),
+    Q("q21_waiting_suppliers", q21_waiting_suppliers, Q21_ORACLE, "TPC-H Q21 EXISTS + NOT EXISTS"),
     Q("q22_idle_customers", q22_idle_customers, Q22_ORACLE, "TPC-H Q22 threshold + anti-join"),
     Q("window_rank_family", window_rank_family, WINDOW_RANK_ORACLE, "rank/dense/percent/cume/ntile"),
     Q("pivot_status_matrix", pivot_status_matrix, PIVOT_ORACLE, "groupBy().pivot() reshape"),
