@@ -213,18 +213,20 @@ def src_jsonl_permissive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(stage)
     )
-    # The scan must reference at least one REAL column besides
-    # _corrupt_record (Spark disallows corrupt-column-only queries —
-    # QUERY_ONLY_CORRUPT_RECORD_COLUMN); counting parsed event_ids both
-    # satisfies that and certifies corrupt rows carry NO parsed fields.
+    # Spark disallows scans whose pruned schema is ONLY the corrupt column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and downstream consumers (a bare
+    # count() of this audit) can legally prune every real column away.
+    # Per Spark's own guidance, materialize the parse once, then query the
+    # snapshot; at ingest scale the same move is "persist the parsed batch,
+    # audit the snapshot" — one read of the raw bytes either way.
+    df = df.select(
+        F.when(F.col("_corrupt_record").isNull(), F.lit("good"))
+        .otherwise(F.lit("corrupt"))
+        .alias("status"),
+        "event_id",
+    ).localCheckpoint(eager=False)
     return (
-        df.select(
-            F.when(F.col("_corrupt_record").isNull(), F.lit("good"))
-            .otherwise(F.lit("corrupt"))
-            .alias("status"),
-            "event_id",
-        )
-        .groupBy("status")
+        df.groupBy("status")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.count("event_id").cast("long").alias("n_with_id"),
