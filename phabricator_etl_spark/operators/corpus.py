@@ -1,0 +1,306 @@
+"""Corpus-pipeline operators: the stages between raw crawl and training set.
+
+Greenfield LLM-data-pipeline operators (SURVEY.md §7 Phase 8 family, beyond
+the five dedup primitives in operators/dedup.py). Each is the Spark-first
+form of a pipeline stage a 100 TB text corpus actually goes through:
+
+- near-dup CLUSTERING:     LSH pairs -> connected components -> one canonical
+                           representative per duplicate cluster (the step the
+                           pairwise dedup ops stop short of)
+- incremental ingest dedup: new batch vs an existing fingerprint store
+                           (anti-join, the daily-crawl shape)
+- text normalization:      lower/strip/collapse as one codegen projection
+- global n-gram top-k:     the canonical giant-shuffle count
+- TF-IDF top terms:        two aggregations + a per-doc window
+
+Scale notes per operator in the docstrings. Zero Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+from ..functions.hashing import md5_long, md5_long_sql
+from .dedup import _spread, dedup_minhash_lsh, _minhash_lsh_oracle
+
+_TOKEN_RE = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs are not enough — a dedup pipeline must pick ONE
+# representative per duplicate cluster. MinHash-LSH pairs (operators/dedup)
+# become edges; connected components (operators/graph, the stack_size engine)
+# labels clusters; min doc_id is the canonical survivor. At 100 TB the pair
+# list is tiny relative to the corpus (only near-dups), so the CC fixpoint
+# runs on a graph orders of magnitude smaller than the input.
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    vertices = d.select(F.col("doc_id").cast("long").alias("id"))
+    comp = connected_components(vertices, pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _cluster_oracle() -> str:
+    # Connected components in ANSI SQL: a recursive CTE propagates every
+    # node's id along (symmetrized) edges; MIN over the reachable-label set
+    # is exactly the min-id component label the Spark fixpoint computes.
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_minhash_lsh_oracle()}) mo
+), e AS (
+  SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b AS s, a AS t FROM pairs
+), reach(id, lab) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN e ON e.s = r.id
+), comp AS (
+  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
+DEDUP_CLUSTER_ORACLE = _cluster_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: yesterday's corpus is a fingerprint store; only
+# genuinely new content from today's batch should survive. One hash pass over
+# the batch + one join against the store — the store side never rehashes its
+# text (at scale the store IS just the hash column, bucketed by h so the
+# daily join co-locates without a store-side shuffle).
+# ---------------------------------------------------------------------------
+
+def corpus_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), md5_long(F.col("text")).alias("h")
+    )
+    store = d.filter(F.col("doc_id") % 10 < 7).select("h").distinct()
+    batch = d.filter(F.col("doc_id") % 10 >= 7)
+    canon = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        batch.join(store.withColumn("in_store", F.lit(True)), "h", "left")
+        .join(canon, "h")
+        .select(
+            "doc_id",
+            "h",
+            F.when(F.col("in_store").isNotNull(), F.lit("dup_of_store"))
+            .when(F.col("doc_id") != F.col("first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+INCREMENTAL_NEW_DOCS_ORACLE = f"""
+WITH hashed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {md5_long_sql("text")} AS h FROM documents
+), store AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 10 < 7
+), batch AS (
+  SELECT * FROM hashed WHERE doc_id % 10 >= 7
+), canon AS (
+  SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY h
+)
+SELECT b.doc_id, b.h,
+       CASE WHEN s.h IS NOT NULL THEN 'dup_of_store'
+            WHEN b.doc_id <> c.first_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM batch b LEFT JOIN store s ON b.h = s.h JOIN canon c ON b.h = c.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text normalization: the standard pre-tokenization cleanup (lowercase, strip
+# non-alphanumerics, collapse whitespace) as ONE narrow codegen projection —
+# no shuffle, perfectly splittable, the cheapest possible 100 TB pass.
+# ---------------------------------------------------------------------------
+
+def corpus_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        md5_long(norm).alias("norm_hash"),
+    )
+
+
+NORMALIZE_ORACLE = f"""
+WITH n AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+         TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, n_chars_raw, CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm,
+       {md5_long_sql("norm")} AS norm_hash
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global n-gram top-k: explode every bigram occurrence, count, keep the top
+# 20. THE textbook heavy shuffle — at 100 TB the win is map-side partial
+# aggregation (Spark's hash aggregate combines within each task before the
+# exchange, so shuffle volume is ~vocabulary, not ~corpus) plus the
+# deterministic (count, ngram) tie-break making top-k a stable set.
+# ---------------------------------------------------------------------------
+
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), _TOKEN_RE)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+NGRAM_TOPK_ORACLE = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(text, '\s+') AS t FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
+  FROM toks
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document: term-frequency agg, document-frequency agg,
+# then a per-doc window keeps the 3 highest-scoring terms. Two shuffles
+# (doc+term, then term) + one window partitioned by doc — each keyed on a
+# uniformly-distributed column, so the plan scales linearly. The float score
+# is ranking-internal only; the OUTPUT is exact integers (tf, df, rank), so
+# cross-engine hashing never touches a double.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    n_docs = d.count()  # metadata-cheap on parquet; a literal in the plan
+    tf = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("term"))
+    return (
+        tf.join(dfx, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+TFIDF_ORACLE = rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * LN(1.0 + nd.n / dfx.df) DESC, tf.term
+         ) AS rank
+  FROM tf JOIN dfx USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+CORPUS_QUERIES = [
+    Q(
+        "dedup_cluster_canonical",
+        dedup_cluster_canonical,
+        DEDUP_CLUSTER_ORACLE,
+        "LSH pairs -> connected components -> canonical representative",
+    ),
+    Q(
+        "corpus_incremental_new_docs",
+        corpus_incremental_new_docs,
+        INCREMENTAL_NEW_DOCS_ORACLE,
+        "batch-vs-fingerprint-store incremental dedup",
+    ),
+    Q(
+        "corpus_normalize_text",
+        corpus_normalize_text,
+        NORMALIZE_ORACLE,
+        "normalization as one codegen projection",
+    ),
+    Q(
+        "corpus_ngram_topk",
+        corpus_ngram_topk,
+        NGRAM_TOPK_ORACLE,
+        "global bigram top-k (map-side combine)",
+    ),
+    Q(
+        "corpus_tfidf_top_terms",
+        corpus_tfidf_top_terms,
+        TFIDF_ORACLE,
+        "TF-IDF top terms per doc",
+    ),
+]

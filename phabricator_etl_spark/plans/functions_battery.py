@@ -271,6 +271,37 @@ FROM base
 """
 
 
+def fn_cube_rollup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (priority, status): all 4 grouping combinations in
+    one pass. Spark computes the cube with a single Expand + hash aggregate —
+    one shuffle regardless of how many grouping sets — vs. 4 separate
+    aggregations unioned. grouping_id disambiguates the NULL subtotal rows
+    (standard bit order: 2*grouping(priority) + grouping(status), identical
+    in DuckDB's GROUPING()). Money uses the cents trick (query.py) so the
+    subtotals hash bit-exactly."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+FN_CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -278,4 +309,5 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_multiset_ops", fn_multiset_ops, FN_MULTISET_ORACLE, "EXCEPT ALL / INTERSECT ALL bags"),
     Q("fn_unpivot_measures", fn_unpivot_measures, FN_UNPIVOT_ORACLE, "unpivot wide->long"),
     Q("fn_null_battery", fn_null_battery, FN_NULL_ORACLE, "nullif/nvl/nvl2/<=> battery"),
+    Q("fn_cube_rollup_matrix", fn_cube_rollup_matrix, FN_CUBE_ORACLE, "CUBE grouping sets + grouping_id"),
 ]

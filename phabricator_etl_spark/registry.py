@@ -128,6 +128,12 @@ def all_queries() -> list[Q]:
         queries.extend(FORMAT_QUERIES)
     except ImportError:
         pass
+    try:
+        from .operators.corpus import CORPUS_QUERIES
+
+        queries.extend(CORPUS_QUERIES)
+    except ImportError:
+        pass
     return queries
 
 

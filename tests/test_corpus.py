@@ -1,0 +1,75 @@
+"""Invariant tests for the corpus-pipeline operators (operators/corpus.py).
+
+Oracle hash-parity is covered by test_oracle_parity; these pin the semantic
+invariants a hash can't express: cluster transitivity, status partitioning,
+normalization idempotence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phabricator_etl_spark.operators.corpus import (
+    corpus_incremental_new_docs,
+    corpus_normalize_text,
+    dedup_cluster_canonical,
+)
+
+
+def test_cluster_labels_are_transitive_and_canonical(spark, sf_smoke):
+    out = dedup_cluster_canonical(spark, sf_smoke)
+    rows = out.collect()
+    by_id = {r.doc_id: r for r in rows}
+    # every cluster_id is itself a member of the cluster and is its min id
+    for r in rows:
+        assert r.cluster_id in by_id, "cluster label must be a real doc_id"
+        assert r.cluster_id <= r.doc_id, "label is the min id of the component"
+        assert by_id[r.cluster_id].is_canonical
+    # cluster_size is consistent: count of members per label
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in rows)
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+    # exactly one canonical per cluster
+    assert sum(1 for r in rows if r.is_canonical) == len(sizes)
+
+
+def test_incremental_statuses_partition_the_batch(spark, sf_smoke):
+    out = corpus_incremental_new_docs(spark, sf_smoke)
+    agg = {r.status: r.n for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    n_batch = out.count()
+    assert sum(agg.values()) == n_batch  # statuses are exhaustive + disjoint
+    # every batch doc got exactly one row
+    assert out.select("doc_id").distinct().count() == n_batch
+    # a 'new' doc's hash appears exactly once among new docs
+    new = out.filter(F.col("status") == "new")
+    assert new.count() == new.select("h").distinct().count()
+
+
+def test_normalize_is_idempotent(spark, sf_smoke):
+    """Normalizing already-normalized text must be a fixpoint: re-applying
+    the projection to the normalized string yields the same hash."""
+    from phabricator_etl_spark.functions.hashing import md5_long
+    from phabricator_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    norm1 = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    once = d.select(F.col("doc_id"), norm1.alias("text"))
+    norm2 = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    twice = once.select("doc_id", norm2.alias("text2"))
+    joined = once.join(twice, "doc_id").filter(
+        md5_long(F.col("text")) != md5_long(F.col("text2"))
+    )
+    assert joined.count() == 0
+
+    out = corpus_normalize_text(spark, sf_smoke)
+    assert out.filter(F.col("n_chars_norm") > F.col("n_chars_raw")).count() == 0
