@@ -47,11 +47,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = d.select(F.col("doc_id").cast("long").alias("id"))
     comp = connected_components(vertices, pairs)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "component").select(
+    wc = Window.partitionBy("component")
+    return comp.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
 

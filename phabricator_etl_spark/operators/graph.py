@@ -28,10 +28,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-LOCAL_EDGE_THRESHOLD = 4096
+# Cutover between the driver union-find and the distributed fixpoint, in
+# edges. Cost model: the local path pays one collect (~16 bytes/edge over
+# the wire) + O(E α(E)) driver work (~0.5 µs/edge) — ~0.3 s at this
+# threshold, bounded ~8 MB of driver memory. The distributed path pays
+# O(log diameter) rounds of 2 shuffles + a barrier each — seconds of
+# scheduling REGARDLESS of size. Crossover is far above this value; 256 Ki
+# edges keeps the driver-memory bound conservative (same reasoning as the
+# session's 64 MB autoBroadcastJoinThreshold). Graphs over the threshold —
+# the 100 TB case — take the distributed fixpoint; both paths are asserted
+# equal in tests/test_graph_paths.py.
+LOCAL_EDGE_THRESHOLD = 262_144
 
 
-def _local_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def _local_components(vertices: DataFrame, epd) -> DataFrame:
     """Driver-side union-find for subcritical graphs.
 
     The distributed fixpoint costs O(rounds) scheduled jobs regardless of
@@ -40,8 +50,15 @@ def _local_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     below the threshold, solve on the driver in microseconds and ship the
     result back as a (tiny) local relation. Exact same contract as the
     distributed path (min-id labeling), asserted equal in tests.
+
+    ``epd``: the already-probed pandas edge frame (src, dst) — the caller's
+    size probe doubles as the transfer, so the local path costs exactly one
+    edge-side job. Arrow both ways; the pickle row path costs ~10x more at
+    10^5 rows and would erase the cutover's win.
     """
-    ids = [r[0] for r in vertices.select("id").collect()]
+    import pandas as pd
+
+    ids = vertices.select("id").toPandas()["id"].tolist()
     parent: dict = {v: v for v in ids}
 
     def find(x):
@@ -52,7 +69,7 @@ def _local_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select("src", "dst").collect():
+    for a, b in zip(epd["src"].tolist(), epd["dst"].tolist()):
         if a is None or b is None:
             continue
         parent.setdefault(a, a)
@@ -66,11 +83,11 @@ def _local_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         r = find(v)
         if r not in min_of_root or v < min_of_root[r]:
             min_of_root[r] = v
-    rows = [(v, min_of_root[find(v)]) for v in ids]
     schema = vertices.select(
         F.col("id"), F.col("id").alias("component")
     ).schema
-    return vertices.sparkSession.createDataFrame(rows, schema)
+    out = pd.DataFrame({"id": ids, "component": [min_of_root[find(v)] for v in ids]})
+    return vertices.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -104,12 +121,24 @@ def connected_components(
     # pipeline far more expensive than the edge list itself. MEMORY_AND_DISK
     # (the default) spills rather than OOMs at scale — the GraphX pattern.
     edges = edges.persist()
+    if local_threshold > 0:
+        # LIMIT threshold+1 probe via Arrow: if the graph is subcritical the
+        # probe IS the transfer (one job, no separate count); if not, the
+        # scan stopped after ~threshold rows and we fall through. Null
+        # endpoints are dropped Spark-side — a nullable long would arrive
+        # as float64 + NaN in pandas and poison the id comparisons.
+        probe = (
+            edges.select("src", "dst")
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .limit(local_threshold + 1)
+            .toPandas()
+        )
+        if len(probe) <= local_threshold:
+            try:
+                return _local_components(vertices, probe)
+            finally:
+                edges.unpersist()
     n_edges = edges.count()
-    if n_edges <= local_threshold:
-        try:
-            return _local_components(vertices, edges)
-        finally:
-            edges.unpersist()
     spark = edges.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(default_parts, (2 * n_edges) // 100_000 + 2))
@@ -192,6 +221,12 @@ def connected_components(
 
 
 def component_sizes(components: DataFrame) -> DataFrame:
-    """(id, component) -> (id, component, size)."""
-    sizes = components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
-    return components.join(sizes, "component")
+    """(id, component) -> (id, component, size).
+
+    Window count, not groupBy+join-back: one shuffle on component instead of
+    two, and the upstream (often a driver-built local relation from the
+    small-graph path) is evaluated once instead of on both join sides."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component")
+    return components.withColumn("size", F.count(F.lit(1)).over(w))

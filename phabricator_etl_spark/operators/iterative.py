@@ -69,8 +69,50 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 5
     return out
 
 
+def _local_pointer_distances(seeds: DataFrame, epd) -> DataFrame:
+    """Driver-side list ranking for subcritical forests — the same size
+    cutover as graph._local_components (see LOCAL_EDGE_THRESHOLD's cost
+    model there). Memoized root-walk: O(E) driver work, exact same output
+    contract as the distributed path (asserted in tests). ``epd`` is the
+    caller's probe result (pandas frame dst/src) — probe doubles as
+    transfer."""
+    import pandas as pd
+
+    seed_ids = set(seeds.select("id").toPandas()["id"].tolist())
+    parent: dict = dict(zip(epd["dst"].tolist(), epd["src"].tolist()))
+    memo: dict = {}  # node -> (terminal_root | None, distance_to_root)
+
+    def resolve(v) -> None:
+        path, seen = [], set()
+        cur = v
+        while cur in parent and cur not in memo:
+            if cur in seen:  # cycle: violates the forest contract -> no root
+                for n in path:
+                    memo[n] = (None, 0)
+                return
+            seen.add(cur)
+            path.append(cur)
+            cur = parent[cur]
+        root, base = memo[cur] if cur in memo else (cur, 0)
+        for i, node in enumerate(reversed(path), start=1):
+            memo[node] = (root, base + i) if root is not None else (None, 0)
+
+    for v in parent:
+        resolve(v)
+    rows = [(v, 0) for v in sorted(seed_ids, key=str)] + [
+        (v, d) for v, (root, d) in memo.items() if root in seed_ids
+    ]
+    schema = seeds.select(F.col("id"), F.lit(0).cast("long").alias("distance")).schema
+    out = pd.DataFrame({"id": [r[0] for r in rows], "distance": [r[1] for r in rows]})
+    return seeds.sparkSession.createDataFrame(out, schema)
+
+
 def pointer_jump_distances(
-    seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 40
+    seeds: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iterations: int = 40,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Hop distance from seeds over an IN-FOREST (every vertex has at most one
     incoming edge; seeds are the roots) by pointer jumping — Wyllie's parallel
@@ -85,6 +127,25 @@ def pointer_jump_distances(
     Falls under the same semantics as ``bfs_distances`` when the graph is a
     forest rooted at the seeds; use ``bfs_distances`` for general graphs.
     """
+    from .graph import LOCAL_EDGE_THRESHOLD
+
+    if local_threshold is None:
+        local_threshold = LOCAL_EDGE_THRESHOLD
+    edges = edges.persist()
+    if local_threshold > 0:
+        # LIMIT probe doubles as the Arrow transfer (see graph.py); nulls
+        # dropped Spark-side to keep pandas dtypes integral.
+        probe = (
+            edges.select("dst", "src")
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .limit(local_threshold + 1)
+            .toPandas()
+        )
+        if len(probe) <= local_threshold:
+            try:
+                return _local_pointer_distances(seeds, probe)
+            finally:
+                edges.unpersist()
     seeds = seeds.select("id").localCheckpoint(eager=True)
     # Non-root vertices start pointing at their parent, one hop away.
     ptr = edges.select(
@@ -92,6 +153,7 @@ def pointer_jump_distances(
         F.col("src").alias("anc"),
         F.lit(1).cast("long").alias("distance"),
     ).localCheckpoint(eager=True)
+    edges.unpersist()
     # distance is elementwise non-decreasing and strictly increases somewhere
     # iff any pointer can still jump, so one scalar sum detects the fixpoint.
     prev_sum = ptr.agg(F.sum("distance")).collect()[0][0] or 0

@@ -559,13 +559,12 @@ def a8_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = o.select(F.col("o_orderkey").alias("id"))
     comp = connected_components(vertices, edges)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("stack_size"))
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col("id").cast("long").alias("o_orderkey"),
-            F.col("stack_size").cast("long").alias("stack_size"),
-        )
+    # window count over component: one shuffle, single evaluation of comp
+    # (vs groupBy + join-back = two shuffles and a double eval)
+    wc = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").cast("long").alias("o_orderkey"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("stack_size"),
     )
 
 

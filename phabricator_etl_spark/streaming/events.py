@@ -28,13 +28,41 @@ from ..sources.catalog import load_table as _t
 _counter = 0
 
 
+class stream_state_partitions:
+    """Pin ``spark.sql.shuffle.partitions`` while a streaming query plans.
+
+    Stateful streaming cost scales with the number of state-store INSTANCES
+    (one per shuffle partition per stateful operator per side), not with the
+    data: a stream-stream join inheriting the batch default pays provider
+    init + commit + snapshot per instance per micro-batch. Size it to state
+    volume instead — measured here: the interval join at sf0.1 drops ~5x
+    (12.7s -> 2.6s) going from 32 partitions to 4-8. On a real cluster this
+    number is the state-shard count (fixed at first checkpoint); raise
+    SPARK_GRAFT_STREAM_PARTS for high-cardinality keys / RocksDB-sized
+    state, where more shards mean smaller per-instance snapshots.
+    """
+
+    def __init__(self, spark: SparkSession, parts: int | None = None):
+        self.spark = spark
+        self.parts = parts or int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def _run_stream_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming plan to completion (AvailableNow) into an
     in-memory sink table and return the materialized result."""
     global _counter
     _counter += 1
     name = f"stream_result_{_counter}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt, stream_state_partitions(spark):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)

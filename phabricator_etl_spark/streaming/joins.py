@@ -218,7 +218,9 @@ def run_upsert_sink(
         # fixpoint checkpoints per round)
         target["t"] = merged.localCheckpoint(eager=True)
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_upsert_") as ckpt:
+    from .events import stream_state_partitions
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_upsert_") as ckpt, stream_state_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", ckpt)

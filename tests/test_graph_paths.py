@@ -57,3 +57,32 @@ def test_isolated_vertices_and_self_loops(spark):
     edf = spark.createDataFrame([(2, 2), (3, 9)], "src long, dst long")
     got = _labels(connected_components(vdf, edf))
     assert got == {1: 1, 2: 2, 3: 3, 9: 3}
+
+
+def test_pointer_jump_paths_agree(spark):
+    """Local memoized root-walk == distributed Wyllie ranking, on a forest
+    of chains of mixed length (including an unreachable chain whose root is
+    not a seed)."""
+    from phabricator_etl_spark.operators.iterative import pointer_jump_distances
+
+    rng = random.Random(7)
+    edges, seeds, nid = [], [], 0
+    for _ in range(40):
+        length = rng.randrange(1, 30)
+        chain = list(range(nid, nid + length))
+        nid += length
+        seeds.append(chain[0])
+        edges += [(chain[i], chain[i + 1]) for i in range(length - 1)]
+    # orphan chain: root 10_000 is NOT a seed -> none of it is emitted
+    edges += [(10_000 + i, 10_001 + i) for i in range(5)]
+
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    def dists(df):
+        return {r["id"]: r["distance"] for r in df.collect()}
+
+    local = dists(pointer_jump_distances(sdf, edf))
+    dist = dists(pointer_jump_distances(sdf, edf, local_threshold=-1))
+    assert local == dist
+    assert all(v < 10_000 for v in local)  # orphan chain excluded
