@@ -187,8 +187,70 @@ WHERE rank <= {TOP_K}
 """
 
 
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul — the SIMD form of
+    ann_topk_bruteforce, bit-identical output (shared oracle).
+
+    The query matrix (tiny) rides a broadcast variable; mapInPandas scores
+    each corpus Arrow batch as ONE (batch x dim) @ (dim x nq) int64 matmul
+    and emits only its LOCAL top-k per query — the map-side partial top-k
+    reduction — so the final window sees |partitions| * k * nq rows, not
+    |corpus| * nq. Top-k is a monotone reduction, so partial-then-global is
+    exact. This is the pattern for when per-element expression trees
+    (F.aggregate/zip_with) become the bottleneck at real vector widths:
+    the HOF dot is a per-element Catalyst expression; the matmul is one BLAS
+    call per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = _quantized(spark, sf_dir)
+    qpd = q.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "qe").toPandas()
+    q_ids = qpd["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = np.vstack(qpd["qe"].to_numpy()).astype(np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand = pdf["cand_id"].to_numpy(dtype=np.int64)
+            cm = np.vstack(pdf["qe"].to_numpy()).astype(np.int64)
+            scores = cm @ qm.T  # (n, nq)
+            frames = []
+            for j in range(len(ids)):
+                mask = cand != ids[j]
+                s, c = scores[mask, j], cand[mask]
+                if not len(s):
+                    continue
+                # local exact top-k, ordered by (-dot, cand_id)
+                top = np.lexsort((c, -s))[: min(TOP_K, len(s))]
+                frames.append(
+                    pd.DataFrame({"query_id": ids[j], "cand_id": c[top], "dot_q": s[top]})
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    partial = q.select(F.col("vec_id").alias("cand_id"), "qe").mapInPandas(
+        score, "query_id long, cand_id long, dot_q long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("cand_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "dot_q", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 SIMILARITY_QUERIES = [
     Q("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTE_ORACLE, "exact cosine top-k"),
+    Q(
+        "ann_topk_vectorized",
+        ann_topk_vectorized,
+        ANN_BRUTE_ORACLE,
+        "Arrow/numpy matmul exact top-k (partial top-k per batch)",
+    ),
     Q("ann_lsh_bucket", ann_lsh_bucket, ANN_LSH_ORACLE, "sign-sketch bucketed ANN"),
     Q("ann_ivf_probe1", ann_ivf_probe1, ANN_IVF_ORACLE, "IVF nprobe=1 cell-pruned ANN"),
 ]
