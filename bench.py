@@ -27,6 +27,19 @@ def main() -> None:
     # Warm the JVM/session so the first query doesn't pay startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Warm the Python/Arrow workers too: the first mapInPandas otherwise
+    # pays one pandas+numpy import per core, attributed to whichever query
+    # happens to run it first.
+    def _warm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf["id"] = pdf["id"] + int(np.int64(0))
+            yield pdf
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(_warm, "id long").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for q in all_queries():

@@ -31,6 +31,13 @@ ITERATIONS = 5
 TOP_K = 5
 N_QUERIES = 10
 
+# Driver-cutover threshold in VECTORS (same philosophy + probe mechanics as
+# graph.LOCAL_EDGE_THRESHOLD): below it, 5 Lloyd rounds are pure scheduling
+# overhead vs one Arrow transfer + numpy matmuls. 64Ki x dim=64 doubles is
+# ~32 MB driver-side — the broadcast-sized regime. The distributed loop is
+# the 100 TB path and stays the default above the threshold.
+KMEANS_LOCAL_ROWS = 65_536
+
 
 def _sq_dist(a: str, b: str) -> F.Column:
     return F.aggregate(
@@ -40,11 +47,48 @@ def _sq_dist(a: str, b: str) -> F.Column:
     )
 
 
-def kmeans_fit(vectors: DataFrame, *, k: int = K_CELLS, iterations: int = ITERATIONS) -> DataFrame:
+def _local_kmeans(vectors: DataFrame, vpd, k: int, iterations: int) -> DataFrame:
+    """Driver numpy Lloyd for subcritical inputs — identical semantics to the
+    distributed loop: init = k lowest vec_ids, argmin assignment with
+    lowest-cell tie-break (np.argmin returns the FIRST min, matching
+    min(struct(d, cell))), empty cells keep their centroid. Distances via
+    the |x-c|^2 = |x|^2 - 2x.c + |c|^2 expansion: an (n,k) matmul, never an
+    (n,k,dim) tensor."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(vpd["vec_id"].to_numpy())
+    X = np.vstack(vpd["vec"].to_numpy()).astype(np.float64)[order]
+    C = X[:k].copy()
+    for _ in range(iterations):
+        d = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
+        a = d.argmin(1)
+        for c in range(k):
+            members = X[a == c]
+            if len(members):
+                C[c] = members.mean(0)
+    out = pd.DataFrame({"cell": np.arange(1, k + 1, dtype=np.int32), "centroid": list(C)})
+    return vectors.sparkSession.createDataFrame(out, "cell int, centroid array<double>")
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    *,
+    k: int = K_CELLS,
+    iterations: int = ITERATIONS,
+    local_threshold: int | None = None,
+) -> DataFrame:
     """vectors: (vec_id long, vec array<double>). Returns (cell, centroid).
 
     Lloyd's algorithm: assign to nearest centroid, recompute means. Empty
     cells keep their previous centroid (standard fix)."""
+    if local_threshold is None:
+        local_threshold = KMEANS_LOCAL_ROWS
+    if local_threshold > 0:
+        # LIMIT probe doubles as the Arrow transfer (see graph.py).
+        probe = vectors.select("vec_id", "vec").limit(local_threshold + 1).toPandas()
+        if len(probe) <= local_threshold:
+            return _local_kmeans(vectors, probe, k, iterations)
     centroids = (
         vectors.orderBy("vec_id")
         .limit(k)
@@ -79,21 +123,48 @@ def kmeans_fit(vectors: DataFrame, *, k: int = K_CELLS, iterations: int = ITERAT
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """argmin cell per vector: broadcast the k-row centroid table, score each
-    (vector, centroid) pair, keep the min by (distance, cell) via array_min
-    over structs after a groupBy collect — but the simplest plan that wins in
-    practice is crossJoin(broadcast) + min-struct aggregation: one scan, one
-    map-side-combinable agg, no window sort. (An inlined-literal argmin
-    projection was tried and measured 3x slower: higher-order functions are
-    interpreted, and the 8x64-literal expression tree bloats every iteration's
-    plan.)"""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn("d", _sq_dist("vec", "centroid"))
-    best = (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cell")).alias("best"), F.first("vec").alias("vec"))
-        .select("vec_id", "vec", F.col("best.cell").alias("cell"), F.col("best.d").alias("d"))
+    """argmin cell per vector, Arrow-vectorized: the centroid table is k rows
+    BY CONSTRUCTION (the model, not data), so it rides a broadcast variable
+    as a (k, dim) numpy matrix and each corpus Arrow batch scores as one
+    |x|^2 - 2XC^T + |c|^2 matmul. No shuffle — the assignment stays in the
+    scan stage, which is exactly the 100 TB shape (vectorized model
+    application over a corpus scan). np.argmin takes the FIRST min, matching
+    the lowest-cell tie-break of the former min(struct(d, cell)) plan.
+
+    (History: a crossJoin(broadcast) + zip_with/aggregate HOF distance was
+    measured 3-4x slower — Catalyst higher-order functions evaluate
+    interpreted per element; an inlined-literal projection bloated the plan
+    worse. The matmul replaces n*k interpreted array walks with one BLAS
+    call per batch.)"""
+    import numpy as np
+    import pandas as pd
+
+    cl = centroids.orderBy("cell").collect()
+    cells = np.array([r["cell"] for r in cl], dtype=np.int64)
+    cm = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cl])
+    bc = vectors.sparkSession.sparkContext.broadcast((cells, cm))
+
+    def score(batches):
+        cell_ids, C = bc.value
+        c_sq = (C * C).sum(1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            d = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + c_sq
+            a = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": pdf["vec"],
+                    "cell": cell_ids[a],
+                    "d": d[np.arange(len(a)), a],
+                }
+            )
+
+    return vectors.select("vec_id", "vec").mapInPandas(
+        score, "vec_id long, vec array<double>, cell int, d double"
     )
-    return best
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

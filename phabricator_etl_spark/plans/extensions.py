@@ -391,6 +391,64 @@ ORDER BY event_type
 """
 
 
+def scd2_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build: each order becomes a validity interval
+    [valid_from, valid_to) per customer, closed by the NEXT order's date
+    (lead), open-ended for the current row. The standard
+    snapshot→time-versioned-dimension move, one window pass — no self-join.
+    At 100 TB: one shuffle on the dimension key; the lead frame is O(1)
+    state per row."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderstatus").alias("status"),
+        _ts("o_orderdate").alias("valid_from"),
+        _ts(nxt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_orderstatus AS status,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 1-hour spend over events —
+    the frame is defined by VALUE distance (epoch seconds), not row count,
+    so peers and gaps behave identically however ties land. Completes the
+    frame family next to rowsBetween (window_rolling_frames)."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.sum(cents).over(w).alias("hour_cents"),
+    )
+
+
+TIME_RANGE_ORACLE = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       SUM(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_cents
+FROM events
+"""
+
+
 EXTENSION_QUERIES = [
     Q("asof_join_events_orders", asof_join_events_orders, ASOF_ORACLE, "as-of join via union trick"),
     Q("window_lead_lag", window_lead_lag, LEAD_LAG_ORACLE, "lead/lag timeline"),
@@ -401,4 +459,6 @@ EXTENSION_QUERIES = [
     Q("sink_partitioned_roundtrip", sink_partitioned_roundtrip, SINK_ORACLE, "ym-partitioned sink + pruned read"),
     Q("pandas_udf_quality", pandas_udf_quality, PANDAS_QUALITY_ORACLE, "Arrow pandas_udf parity"),
     Q("grouped_map_regression", grouped_map_regression, GROUPED_REGR_ORACLE, "applyInPandas per-group OLS fit"),
+    Q("scd2_order_intervals", scd2_order_intervals, SCD2_ORACLE, "SCD2 validity intervals via lead"),
+    Q("window_time_range", window_time_range, TIME_RANGE_ORACLE, "time-valued RANGE frame"),
 ]

@@ -75,3 +75,16 @@ def test_pagerank_star_graph(spark):
     assert ranks[0] == max(ranks.values())
     spokes = [ranks[i] for i in range(1, 10)]
     assert max(spokes) - min(spokes) < 1e-9, "spokes must have equal rank"
+
+
+def test_kmeans_local_and_distributed_paths_agree(spark, vectors):
+    """Same assignments from the numpy driver path and the DataFrame loop
+    (float ulp differences can only flip exactly-equidistant points, absent
+    in continuous synthetic data)."""
+    local = kmeans_fit(vectors, iterations=2)
+    dist = kmeans_fit(vectors, iterations=2, local_threshold=0)
+
+    def cells(cents):
+        return {r["vec_id"]: r["cell"] for r in assign_cells(vectors, cents).collect()}
+
+    assert cells(local) == cells(dist)
