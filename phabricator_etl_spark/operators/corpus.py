@@ -272,7 +272,62 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy dedup: edit-distance verification over prefix-bucketed candidates.
+# The shape every fuzzy-key match at scale uses: a cheap blocking key
+# (normalized prefix) makes candidate generation an equi-join; the expensive
+# exact predicate (levenshtein, JVM built-in) runs only within blocks. A
+# 64-char comparison window caps the O(len^2) DP cost per pair.
+# ---------------------------------------------------------------------------
+
+FUZZY_PREFIX = 16
+FUZZY_WINDOW = 64
+FUZZY_MAX_DIST = 5
+
+
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    keyed = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.substring("text", 1, FUZZY_PREFIX)).alias("block"),
+        F.substring("text", 1, FUZZY_WINDOW).alias("win"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("a"), "block", F.col("win").alias("wa")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("b"), "block", F.col("win").alias("wb")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("wa", "wb").cast("long"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("a", "b", "dist")
+    )
+
+
+FUZZY_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         LOWER(substr(text, 1, {FUZZY_PREFIX})) AS block,
+         substr(text, 1, {FUZZY_WINDOW}) AS win
+  FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(levenshtein(x.win, y.win) AS BIGINT) AS dist
+FROM keyed x JOIN keyed y ON x.block = y.block AND x.doc_id < y.doc_id
+WHERE levenshtein(x.win, y.win) <= {FUZZY_MAX_DIST}
+"""
+
+
 CORPUS_QUERIES = [
+    Q(
+        "dedup_fuzzy_levenshtein",
+        dedup_fuzzy_levenshtein,
+        FUZZY_ORACLE,
+        "prefix-blocked edit-distance fuzzy dedup",
+    ),
     Q(
         "dedup_cluster_canonical",
         dedup_cluster_canonical,

@@ -209,15 +209,63 @@ FROM orders
 """
 
 
+def _local_pagerank(
+    vertices: DataFrame, epd, damping: float, iterations: int
+) -> DataFrame:
+    """Driver numpy power iteration for subcritical graphs (same cutover +
+    probe mechanics as graph._local_components). Identical update rule to
+    the distributed loop: rank <- (1-d) + d*(inflow + dangling_mass/n)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = vertices.select("id").toPandas()["id"].tolist()
+    n = len(ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    # Mirror the distributed joins exactly: out-degree counts EVERY edge of a
+    # known src (even to unknown dsts — that mass evaporates, as in the
+    # e⋈ranks join); inflow only lands on known dsts.
+    known_src = epd[epd["src"].isin(idx)]
+    deg_src = np.fromiter((idx[v] for v in known_src["src"]), dtype=np.int64, count=len(known_src))
+    deg = np.bincount(deg_src, minlength=n).astype(np.float64)
+    flow = known_src[known_src["dst"].isin(idx)]
+    src = np.fromiter((idx[v] for v in flow["src"]), dtype=np.int64, count=len(flow))
+    dst = np.fromiter((idx[v] for v in flow["dst"]), dtype=np.int64, count=len(flow))
+    dangling = deg == 0
+    rank = np.ones(n, dtype=np.float64)
+    safe_deg = np.where(dangling, 1.0, deg)
+    for _ in range(iterations):
+        contrib = rank / safe_deg
+        inflow = np.bincount(dst, weights=contrib[src], minlength=n)
+        dmass = rank[dangling].sum()
+        rank = (1.0 - damping) + damping * (inflow + dmass / n)
+    out = pd.DataFrame({"id": ids, "rank": rank})
+    schema = vertices.select(F.col("id"), F.lit(1.0).alias("rank")).schema
+    return vertices.sparkSession.createDataFrame(out, schema)
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,
     *,
     damping: float = 0.85,
     iterations: int = 10,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over directed edges; dangling mass is
     redistributed uniformly. Returns (id, rank); sum(rank) == |V|."""
+    from .graph import LOCAL_EDGE_THRESHOLD
+
+    if local_threshold is None:
+        local_threshold = LOCAL_EDGE_THRESHOLD
+    if local_threshold > 0:
+        probe = (
+            edges.select("src", "dst")
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .limit(local_threshold + 1)
+            .toPandas()
+        )
+        if len(probe) <= local_threshold:
+            return _local_pagerank(vertices, probe, damping, iterations)
     n = vertices.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(out_deg, "src").localCheckpoint(eager=True)

@@ -302,6 +302,39 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+def fn_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation, quartiles + median) per order
+    status — Spark ``percentile`` and DuckDB ``quantile_cont`` implement the
+    same type-7 estimator, so values agree to rounding. The exact form needs
+    a per-group sort; the 100 TB path is percentile_approx (see
+    approx_quantiles_price in sampling_stats) — this entry pins the exact
+    semantics the sketch is judged against."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("p", 1), 4).alias("p25"),
+            F.round(F.element_at("p", 2), 4).alias("p50"),
+            F.round(F.element_at("p", 3), 4).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+FN_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -310,4 +343,5 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_unpivot_measures", fn_unpivot_measures, FN_UNPIVOT_ORACLE, "unpivot wide->long"),
     Q("fn_null_battery", fn_null_battery, FN_NULL_ORACLE, "nullif/nvl/nvl2/<=> battery"),
     Q("fn_cube_rollup_matrix", fn_cube_rollup_matrix, FN_CUBE_ORACLE, "CUBE grouping sets + grouping_id"),
+    Q("fn_percentile_exact", fn_percentile_exact, FN_PERCENTILE_ORACLE, "exact type-7 percentiles per group"),
 ]

@@ -88,3 +88,20 @@ def test_kmeans_local_and_distributed_paths_agree(spark, vectors):
         return {r["vec_id"]: r["cell"] for r in assign_cells(vectors, cents).collect()}
 
     assert cells(local) == cells(dist)
+
+
+def test_pagerank_local_and_distributed_paths_agree(spark):
+    """Numpy driver path vs DataFrame loop: same ranks to float tolerance
+    (summation order differs, nothing else)."""
+    import random
+
+    rng = random.Random(13)
+    v = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    e = spark.createDataFrame(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(600)], "src long, dst long"
+    )
+    local = {r.id: r.rank for r in pagerank(v, e, iterations=8).collect()}
+    dist = {r.id: r.rank for r in pagerank(v, e, iterations=8, local_threshold=0).collect()}
+    assert set(local) == set(dist)
+    for k in local:
+        assert abs(local[k] - dist[k]) < 1e-9 * max(1.0, abs(dist[k]))
