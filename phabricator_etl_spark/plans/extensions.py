@@ -252,6 +252,11 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(tempfile.gettempdir(), f"ym_sink_{os.path.basename(sf_dir.rstrip('/'))}")
     (
         o.withColumn("ym", F.date_format("o_orderdate", "yyyy-MM"))
+        # cluster by the partition column before the partitioned write:
+        # without this every task writes a file into every ym directory
+        # (tasks x months small files — the classic 100 TB sink mistake);
+        # with it each month is one file written by one task
+        .repartition("ym")
         .write.mode("overwrite")
         .partitionBy("ym")
         .parquet(target)

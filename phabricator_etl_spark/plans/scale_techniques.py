@@ -46,9 +46,14 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         if not spark.catalog.tableExists(name) and os.path.exists(loc):
             shutil.rmtree(loc)
 
+    # Materialize only the columns the co-located join consumes: bucketing
+    # is a layout decision, and at 100 TB you prune columns at layout time
+    # exactly as you would at scan time (a bucketed copy of cold columns
+    # buys nothing — the full-width table stays in the primary layout).
     if not spark.catalog.tableExists(ot):
         (
             _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
             .write.mode("overwrite")
             .bucketBy(N_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
@@ -57,6 +62,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if not spark.catalog.tableExists(lt):
         (
             _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
             .write.mode("overwrite")
             .bucketBy(N_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
