@@ -49,28 +49,40 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for q in all_queries():
         t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = df.count()
+        try:
+            df = q.build(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # noqa: BLE001 - one broken query must not
+            # take down the whole bench line (r02 lost its entire result to
+            # a single streaming AnalysisException)
+            errors[q.name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"# {q.name}: ERROR {errors[q.name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[q.name] = round(dt, 3)
         total += dt
         print(f"# {q.name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+    if errors:
+        out["errors"] = errors
+    # Start from a guaranteed-fresh line: Spark/py4j may have left an
+    # unterminated \r-progress fragment on the merged stream, which would
+    # otherwise glue itself to the JSON and break the driver's parse.
+    sys.stderr.flush()
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -377,7 +377,7 @@ WITH q AS (
   FROM q
 )
 SELECT x.vec_id AS a, y.vec_id AS b,
-       list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) AS dot_q
+       CAST(list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) AS BIGINT) AS dot_q
 FROM qb x JOIN qb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 WHERE list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) >= {COSINE_NEARDUP_X1E8}
 """

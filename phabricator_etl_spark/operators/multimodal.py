@@ -183,7 +183,7 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_STATS_ORACLE = """
 SELECT source AS origin, COUNT(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 GROUP BY source

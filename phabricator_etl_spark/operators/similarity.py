@@ -61,7 +61,9 @@ def _dot(a: str, b: str) -> F.Column:
 
 
 def _dot_sql(a: str, b: str) -> str:
-    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    # CAST: DuckDB list_sum over BIGINT widens to HUGEINT, which pandas/arrow
+    # render as float — must come back to int64 to hash-match Spark's long.
+    return f"CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])) AS BIGINT)"
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,12 +141,12 @@ def window_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_ORACLE = """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling3_cents,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_cents,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
 FROM orders
 """
 
@@ -179,7 +179,7 @@ ROLLUP_ORACLE = """
 SELECT COALESCE(o_orderstatus, '<all>') AS status,
        COALESCE(o_orderpriority, '<all>') AS priority,
        COUNT(*) AS n,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -272,7 +272,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SINK_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS ym,
        COUNT(*) AS n,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
        COUNT(DISTINCT o_custkey) AS customers
 FROM orders
 WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
@@ -388,8 +388,8 @@ WITH b AS (
 )
 SELECT event_type,
        COUNT(*) AS n_points,
-       COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS slope_num,
-       COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS slope_den
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
 FROM b
 GROUP BY event_type
 ORDER BY event_type
@@ -447,9 +447,9 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 TIME_RANGE_ORACLE = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
-       SUM(CAST(round(value * 100) AS BIGINT))
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_cents
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
 FROM events
 """
 

@@ -155,7 +155,7 @@ WITH latest AS (
     ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
 )
 SELECT ym, COUNT(*) AS n_keys,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS latest_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS latest_cents
 FROM latest
 GROUP BY ym
 ORDER BY ym

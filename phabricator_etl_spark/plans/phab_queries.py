@@ -496,15 +496,15 @@ def phab_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PHAB_VALIDITY_ORACLE = f"""
 SELECT 'comment.attributes' AS column_name, COUNT(*) AS rows_checked,
-       SUM(CASE WHEN attributes IS NOT NULL AND NOT json_valid(attributes) THEN 1 ELSE 0 END) AS rows_malformed
+       CAST(SUM(CASE WHEN attributes IS NOT NULL AND NOT json_valid(attributes) THEN 1 ELSE 0 END) AS BIGINT) AS rows_malformed
 FROM {_pq('transaction_comment')}
 UNION ALL
 SELECT 'repository.details', COUNT(*),
-       SUM(CASE WHEN details IS NOT NULL AND NOT json_valid(details) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN details IS NOT NULL AND NOT json_valid(details) THEN 1 ELSE 0 END) AS BIGINT)
 FROM {_pq('repository')}
 UNION ALL
 SELECT 'project_transaction.metadata', COUNT(*),
-       SUM(CASE WHEN metadata IS NOT NULL AND NOT json_valid(metadata) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN metadata IS NOT NULL AND NOT json_valid(metadata) THEN 1 ELSE 0 END) AS BIGINT)
 FROM {_pq('project_transaction')}
 ORDER BY column_name
 """

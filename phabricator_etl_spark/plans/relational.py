@@ -56,9 +56,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
 FROM lineitem
@@ -90,7 +90,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -127,7 +127,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -305,7 +305,7 @@ def j6_or_join_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J6_ORACLE = """
 SELECT COUNT(*) AS pair_count,
-       SUM(CAST(event_id AS BIGINT) + CAST(o_orderkey AS BIGINT)) AS pair_checksum
+       CAST(SUM(CAST(event_id AS BIGINT) + CAST(o_orderkey AS BIGINT)) AS BIGINT) AS pair_checksum
 FROM (
   SELECT DISTINCT event_id, o_orderkey
   FROM events JOIN orders ON user_id = o_custkey OR event_id = o_orderkey
@@ -453,7 +453,7 @@ def w5_month_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 W5_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS ym,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS month_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS month_cents
 FROM orders
 GROUP BY 1
 ORDER BY ym
@@ -667,7 +667,7 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
 FROM orders
 JOIN (
-  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
   FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
 ) b ON o_orderkey = b.l_orderkey
 ORDER BY total_qty DESC, o_orderkey ASC

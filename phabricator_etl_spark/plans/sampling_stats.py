@@ -53,7 +53,7 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLE_BERNOULLI_ORACLE = f"""
-SELECT l_returnflag, COUNT(*) AS n_sampled, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+SELECT l_returnflag, COUNT(*) AS n_sampled, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE {md5_long_sql("l_orderkey || '|' || l_linenumber")} % 100 < {SAMPLE_PCT}
 GROUP BY l_returnflag

@@ -96,7 +96,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_lines,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -129,9 +129,9 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALTED_ORACLE = """
 SELECT l_returnflag,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

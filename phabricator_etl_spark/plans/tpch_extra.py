@@ -59,7 +59,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_ORACLE = """
-SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -107,7 +107,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_ORACLE = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-       SUM({_DISC_CENTS_SQL}) AS revenue_cents
+       CAST(SUM({_DISC_CENTS_SQL}) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -155,8 +155,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_ORACLE = f"""
 SELECT r_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-       SUM(CASE WHEN s_nationkey = c_nationkey THEN {_DISC_CENTS_SQL} ELSE 0 END) AS local_cents,
-       SUM({_DISC_CENTS_SQL}) AS total_cents,
+       CAST(SUM(CASE WHEN s_nationkey = c_nationkey THEN {_DISC_CENTS_SQL} ELSE 0 END) AS BIGINT) AS local_cents,
+       CAST(SUM({_DISC_CENTS_SQL}) AS BIGINT) AS total_cents,
        CAST(SUM(CASE WHEN s_nationkey = c_nationkey THEN {_DISC_CENTS_SQL} ELSE 0 END) AS DOUBLE)
          / SUM({_DISC_CENTS_SQL}) AS local_share
 FROM lineitem
@@ -198,8 +198,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q9_ORACLE = """
 SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-           - CAST(ROUND(p_retailprice * l_quantity * 10) AS BIGINT)) AS profit_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           - CAST(ROUND(p_retailprice * l_quantity * 10) AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -236,7 +236,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q10_ORACLE = f"""
-SELECT c_custkey, c_name, n_name, SUM({_DISC_CENTS_SQL}) AS revenue_cents
+SELECT c_custkey, c_name, n_name, CAST(SUM({_DISC_CENTS_SQL}) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -275,8 +275,8 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_ORACLE = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -310,8 +310,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_ORACLE = f"""
-SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_CENTS_SQL} ELSE 0 END) AS promo_cents,
-       SUM({_DISC_CENTS_SQL}) AS total_cents,
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_CENTS_SQL} ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM({_DISC_CENTS_SQL}) AS BIGINT) AS total_cents,
        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_CENTS_SQL} ELSE 0 END) AS DOUBLE)
          / SUM({_DISC_CENTS_SQL}) AS promo_share
 FROM lineitem
@@ -345,7 +345,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_ORACLE = f"""
 WITH rev AS (
-  SELECT l_suppkey, SUM({_DISC_CENTS_SQL}) AS total_cents
+  SELECT l_suppkey, CAST(SUM({_DISC_CENTS_SQL}) AS BIGINT) AS total_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -418,7 +418,7 @@ WITH li_p AS (
 ), thresholds AS (
   SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg FROM li_p GROUP BY l_partkey
 )
-SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_cents,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        COUNT(*) AS n_lines
 FROM li_p JOIN thresholds USING (l_partkey)
 WHERE l_quantity < half_avg
@@ -451,7 +451,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_ORACLE = f"""
-SELECT SUM({_DISC_CENTS_SQL}) AS revenue_cents, COUNT(*) AS n_lines
+SELECT CAST(SUM({_DISC_CENTS_SQL}) AS BIGINT) AS revenue_cents, COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -494,7 +494,7 @@ WITH c AS (
 ), t AS (
   SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) AS avg_cents FROM c WHERE bal_cents > 0
 )
-SELECT n_name, COUNT(*) AS numcust, SUM(bal_cents) AS totacctbal_cents
+SELECT n_name, COUNT(*) AS numcust, CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
 FROM c
 CROSS JOIN t
 JOIN nation ON c_nationkey = n_nationkey
@@ -631,11 +631,11 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIVOT_ORACLE = """
 SELECT o_orderpriority,
        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS f_cents,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS o_cents,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_cents,
        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS p_cents
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_cents
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -680,7 +680,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_ORACLE = f"""
 WITH val AS (
-  SELECT n_name, l_partkey, SUM({_DISC_CENTS_SQL}) AS value_cents
+  SELECT n_name, l_partkey, CAST(SUM({_DISC_CENTS_SQL}) AS BIGINT) AS value_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey

@@ -43,5 +43,10 @@ def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: in
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # The console progress bar writes \r-fragments to stderr with no
+        # trailing newline; under a merged-stream harness those glue onto
+        # the next stdout line and corrupt machine-readable output (this
+        # cost us the round-1 bench line).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

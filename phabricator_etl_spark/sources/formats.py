@@ -58,16 +58,22 @@ N_CORRUPT = 7
 
 
 def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Write events once into `fmt` under a temp dir; idempotent via marker."""
+    """Write events once into `fmt` under a temp dir; idempotent via marker.
+
+    The marker is versioned: v2 normalizes ts to TimestampType before the
+    write (the driver testdata can scan as TIMESTAMP_NTZ, and the text
+    writers format NTZ with `timestampNTZFormat` — ISO 'T' form — which the
+    TimestampType read path then can't parse). A stale v1 stage from an
+    earlier process must be rebuilt, not trusted."""
     stage = os.path.join(
         tempfile.gettempdir(),
         f"fmt_stage_{os.path.basename(sf_dir.rstrip('/'))}_{fmt}",
     )
-    marker = os.path.join(stage, "_STAGED")
+    marker = os.path.join(stage, "_STAGED_v2")
     if os.path.exists(marker):
         return stage
     shutil.rmtree(stage, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     writer = ev.write.mode("overwrite")
     if fmt == "csv":
         # header on; explicit timestampFormat so microseconds survive the
@@ -87,7 +93,7 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 _AGG_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
 FROM events
@@ -154,7 +160,7 @@ def src_jsonl_declared_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 SRC_JSONL_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(props ->> '$.k' AS BIGINT)) AS k_sum
+       CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -173,7 +179,7 @@ def _corrupt_stage(spark: SparkSession, sf_dir: str) -> str:
     """JSONL staging with N_CORRUPT deliberately malformed lines appended."""
     clean = _stage(spark, sf_dir, "json")
     stage = clean.rstrip("/") + "_corrupt"
-    marker = os.path.join(stage, "_STAGED")
+    marker = os.path.join(stage, "_STAGED_v2")
     if os.path.exists(marker):
         return stage
     shutil.rmtree(stage, ignore_errors=True)

@@ -90,8 +90,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", link)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = spark.readStream.format("parquet").schema(raw_schema).load(stage)
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TimestampType (event time must be an
+        # instant); under the session's pinned UTC zone the NTZ->TZ cast is
+        # a deterministic wall-clock identity, so windows line up with the
+        # batch/DuckDB date_trunc oracle.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -120,7 +127,7 @@ STREAM_TUMBLING_ORACLE = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """

@@ -129,7 +129,7 @@ STREAM_STATIC_ORACLE = """
 SELECT c_mktsegment,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
