@@ -321,6 +321,135 @@ WHERE levenshtein(x.win, y.win) <= {FUZZY_MAX_DIST}
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: assemble documents into fixed-token-budget training
+# sequences — the step right before a pretraining dataloader. Greedy
+# sequential fill in deterministic doc_id order: a doc starts the pack its
+# running offset falls into (pack_id = floor(prev_cum / budget)).
+#
+# Scale: the window is partitioned by `source`, NOT global — a single global
+# cumulative sum would funnel 100 TB through one sort; per-source (in
+# production: per input shard) packing is embarrassingly parallel and is
+# what real pipelines do, since pack membership never needs to cross shard
+# boundaries. The budget is a power of two so floor(x / 512) is exact in
+# double on both engines.
+# ---------------------------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 512
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split(F.col("text"), _TOKEN_RE)).cast("long")
+    per_doc = d.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    placed = per_doc.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "pack_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_TOKEN_BUDGET)).cast("long"),
+    )
+    return (
+        placed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+PACK_ORACLE = rf"""
+WITH per_doc AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_doc
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tokens) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY 1, 2
+ORDER BY source, pack_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: find training documents sharing any word-5-gram with an
+# evaluation set (here: doc_id < EVAL_DOCS) — the benchmark-leak check every
+# serious pretraining corpus runs. The eval side's distinct shingle set is
+# tiny (it's the benchmark, not the corpus), so it broadcasts; the corpus
+# side explodes its shingles once and hash-joins — no shuffle of the corpus
+# itself, and the per-doc array_distinct keeps the explode output bounded by
+# unique shingles per doc.
+# ---------------------------------------------------------------------------
+
+SHINGLE_W = 5
+EVAL_DOCS = 20
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), _TOKEN_RE)
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("sh"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") < EVAL_DOCS).select("sh").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= EVAL_DOCS)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("sh").alias("first_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_ORACLE = rf"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, regexp_split_to_array(text, '\s+') AS t
+  FROM documents
+), sh_all AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {SHINGLE_W - 2}),
+                               i -> array_to_string(t[i:i + {SHINGLE_W - 1}], ' '))) AS sh
+  FROM toks
+  WHERE len(t) >= {SHINGLE_W}
+), shd AS (
+  SELECT DISTINCT doc_id, sh FROM sh_all
+), ev AS (
+  SELECT DISTINCT sh FROM shd WHERE doc_id < {EVAL_DOCS}
+)
+SELECT doc_id, COUNT(*) AS n_hits, MIN(sh) AS first_hit
+FROM shd JOIN ev USING (sh)
+WHERE doc_id >= {EVAL_DOCS}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 CORPUS_QUERIES = [
     Q(
         "dedup_fuzzy_levenshtein",
@@ -357,5 +486,17 @@ CORPUS_QUERIES = [
         corpus_tfidf_top_terms,
         TFIDF_ORACLE,
         "TF-IDF top terms per doc",
+    ),
+    Q(
+        "corpus_pack_sequences",
+        corpus_pack_sequences,
+        PACK_ORACLE,
+        "greedy per-source sequence packing to a token budget",
+    ),
+    Q(
+        "corpus_decontaminate",
+        corpus_decontaminate,
+        DECONTAMINATE_ORACLE,
+        "eval-set 5-gram contamination check (broadcast semi-join)",
     ),
 ]

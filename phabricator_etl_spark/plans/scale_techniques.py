@@ -138,7 +138,95 @@ ORDER BY l_returnflag
 """
 
 
+def sorted_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered storage as a data-skipping lever: lineitem is staged
+    once range-partitioned + sorted by l_shipdate with small parquet row
+    groups, so every row group's min/max shipdate stats cover a narrow
+    slice. A tight date-range query then prunes at THREE levels — partition
+    files (range partitioning), row groups (statistics), and pages — before
+    a single value is decoded. At 100 TB this is the difference between
+    scanning a week and scanning the decade; it's the poor-man's form of
+    what Delta/Iceberg call clustering/Z-ordering, expressed with nothing
+    but repartitionByRange + sortWithinPartitions. The oracle runs the same
+    filter over the unsorted original, certifying layout never changes
+    results."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"sorted_li_{tag}")
+    marker = os.path.join(stage, "_STAGED_v1")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_shipdate", "l_orderkey", "l_quantity", "l_extendedprice")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            # ~1 MiB row groups: many stat ranges per file -> fine-grained
+            # skipping (the default 128 MiB group would put the whole file
+            # in one stats bucket at this scale)
+            .option("parquet.block.size", 1 << 20)
+            .parquet(stage)
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    back = spark.read.parquet(stage).filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+
+
+SORTED_SKIP_ORACLE = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def shuffle_hash_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the SHUFFLE_HASH hint forces a
+    shuffled hash join for the mid-size dimension case — too big to
+    broadcast at 100 TB (a 10 GB customer dim would OOM every executor's
+    broadcast cache), but small enough per-partition to hash, so the sort
+    phase a sort-merge join would pay on BOTH sides is skipped. Same
+    result as the hint-free plan (the oracle is the plain join); only the
+    physical strategy moves. Plan-audited for ShuffledHashJoin in
+    tests/test_plan_audits.py."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SHUFFLE_HASH_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 SCALE_QUERIES = [
     Q("bucketed_colocated_join", bucketed_colocated_join, BUCKETED_ORACLE, "bucketed join, no Exchange"),
     Q("salted_skew_aggregation", salted_skew_aggregation, SALTED_ORACLE, "two-phase salted agg"),
+    Q("sorted_file_skipping", sorted_file_skipping, SORTED_SKIP_ORACLE, "sort-clustered parquet row-group pruning"),
+    Q("shuffle_hash_hint_join", shuffle_hash_hint_join, SHUFFLE_HASH_ORACLE, "SHUFFLE_HASH strategy hint"),
 ]

@@ -168,3 +168,31 @@ def test_deterministic_sample_pushes_no_shuffle(spark, sf_smoke):
     last_agg = max(i for i, ln in enumerate(tree) if "HashAggregate" in ln)
     below = "\n".join(tree[last_agg + 1 :])
     assert "Exchange" not in below, f"exchange below the partial aggregate:\n{below}"
+
+
+def test_shuffle_hash_hint_forces_shj(spark, sf_smoke):
+    """The SHUFFLE_HASH hint must override both auto-broadcast and the
+    sort-merge default — the mid-size-dimension strategy lever."""
+    from phabricator_etl_spark.plans.scale_techniques import shuffle_hash_hint_join
+
+    plan = _plan(shuffle_hash_hint_join(spark, sf_smoke))
+    assert "ShuffledHashJoin" in plan, plan[:800]
+
+
+def test_sorted_file_skipping_prunes_scan(spark, sf_smoke):
+    """The sorted-stage read must carry the shipdate filter into the parquet
+    scan (PushedFilters) so row-group stats can act on it."""
+    from phabricator_etl_spark.plans.scale_techniques import sorted_file_skipping
+
+    plan = _plan(sorted_file_skipping(spark, sf_smoke))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_smoke):
+    """The eval shingle set must be the broadcast side — the corpus must
+    never shuffle for the contamination join."""
+    from phabricator_etl_spark.operators.corpus import corpus_decontaminate
+
+    plan = _plan(corpus_decontaminate(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan[:800]
