@@ -335,6 +335,100 @@ ORDER BY o_orderstatus
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Map battery: the MapType surface (absent from the reference, SURVEY §1.2 —
+# a complete engine needs typed maps for exactly the reviewer-JSON shapes F2
+# handles as strings). Build per-row maps, merge, filter, transform, and
+# flatten back to deterministic strings/scalars so each engine's internal
+# map representation never leaks into the comparison. Pure projection: whole
+# map algebra stays in codegen, no shuffle.
+# --------------------------------------------------------------------------
+
+def fn_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("grp"), F.substring("o_orderpriority", 1, 1)))
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "zz").alias("missing_val"),  # absent key -> NULL
+        F.element_at(merged, "grp").alias("merged_grp"),
+        F.size(F.map_filter(m, lambda k, v: v != F.lit("O"))).cast("long").alias("n_non_open"),
+        F.element_at(F.transform_values(m, lambda k, v: F.upper(v)), "status").alias("status_upper"),
+        F.array_join(
+            F.array_sort(F.transform(F.map_entries(m), lambda e: F.concat_ws("=", e["key"], e["value"]))),
+            "|",
+        ).alias("entries_sorted"),
+    )
+
+
+FN_MAP_ORACLE = """
+WITH t AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS m,
+         map_concat(MAP {'status': o_orderstatus, 'priority': o_orderpriority},
+                    MAP {'grp': substr(o_orderpriority, 1, 1)}) AS merged
+  FROM orders
+)
+SELECT o_orderkey,
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+       m['status'][1] AS status_val,
+       m['zz'][1] AS missing_val,
+       merged['grp'][1] AS merged_grp,
+       CAST(len(list_filter(map_values(m), v -> v <> 'O')) AS BIGINT) AS n_non_open,
+       upper(m['status'][1]) AS status_upper,
+       array_to_string(list_sort(list_transform(map_entries(m), e -> e.key || '=' || e.value)), '|') AS entries_sorted
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# try_* battery: ANSI error-safe arithmetic — at 100 TB one bad row must
+# yield NULL, not kill the stage (the expression-level form of the C5
+# tolerant-JSON policy). The oracle spells out each function's exact
+# semantics with CASE/TRY_CAST, certifying the NULL-on-error contract
+# including the int64 overflow boundary.
+# --------------------------------------------------------------------------
+
+_I64_MAX = 9223372036854775807
+
+
+def fn_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        # divide-by-zero -> NULL (denominator cycles through 0,1,2)
+        F.try_divide(F.col("event_id").cast("double"), (F.col("user_id") % 3).cast("double")).alias("safe_div"),
+        # non-numeric cast -> NULL, numeric JSON field -> value
+        F.col("event_type").try_cast("long").alias("cast_text"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("cast_json_k"),
+        # int64 overflow -> NULL; 0 and 1 are the exact non-overflow edge
+        F.try_multiply(F.col("event_id"), F.lit(_I64_MAX)).alias("safe_mul"),
+        # out-of-bounds element -> NULL
+        F.try_element_at(F.split("event_type", "_"), F.lit(5)).alias("elem5"),
+    )
+
+
+FN_TRY_ORACLE = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN user_id % 3 = 0 THEN NULL
+            ELSE CAST(event_id AS DOUBLE) / CAST(user_id % 3 AS DOUBLE) END AS safe_div,
+       TRY_CAST(event_type AS BIGINT) AS cast_text,
+       TRY_CAST(props ->> '$.k' AS BIGINT) AS cast_json_k,
+       CASE WHEN event_id = 0 THEN 0
+            WHEN event_id = 1 THEN {_I64_MAX}
+            ELSE NULL END AS safe_mul,
+       string_split(event_type, '_')[5] AS elem5
+FROM events
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -344,4 +438,6 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_null_battery", fn_null_battery, FN_NULL_ORACLE, "nullif/nvl/nvl2/<=> battery"),
     Q("fn_cube_rollup_matrix", fn_cube_rollup_matrix, FN_CUBE_ORACLE, "CUBE grouping sets + grouping_id"),
     Q("fn_percentile_exact", fn_percentile_exact, FN_PERCENTILE_ORACLE, "exact type-7 percentiles per group"),
+    Q("fn_map_battery", fn_map_battery, FN_MAP_ORACLE, "MapType algebra battery"),
+    Q("fn_try_battery", fn_try_battery, FN_TRY_ORACLE, "ANSI try_* error-safe battery"),
 ]
