@@ -249,12 +249,102 @@ GROUP BY user_id
 """
 
 
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: views that never converted
+    emit with a NULL click once the watermark PROVES no future click can
+    match — the semantics that separate streaming outer joins from inner
+    ones (state can only release an unmatched row when event time has moved
+    past its whole match window).
+
+    Determinism: a view at the tail of the bounded input is undecidable —
+    the final watermark (global max ts - 1h delay) may not have passed its
+    v_ts + 2h window, so the engine (correctly) never emits it as
+    unmatched. Both this query and the oracle therefore restrict the view
+    side to v_ts <= max_ts - 3h - 1s: every retained view's outcome is
+    watermark-decided, and the 1s guard band keeps the exact boundary
+    comparison (engine-internal >= vs >) out of the result. Matched pairs
+    are unaffected (they emit immediately)."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    )
+    out = _run_stream_to_table(spark, pairs, "append")
+    # The GLOBAL watermark of a two-input stateful query is the MIN of the
+    # per-input watermarks (each = that side's max event time - its delay),
+    # computed on the post-filter streams — so the decidability cutoff keys
+    # off the LOWER of the two sides' maxima, not the table-wide max.
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("m")
+    ).collect()[0][0]
+    cutoff = F.lit(m).cast("timestamp") - F.expr("INTERVAL 3 HOURS") - F.expr("INTERVAL 1 SECOND")
+    return out.filter(F.col("v_ts") <= cutoff).select(
+        F.col("v_user").cast("long").alias("user_id"),
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("click_id").isNotNull().alias("converted"),
+    )
+
+
+STREAM_OUTER_JOIN_ORACLE = """
+WITH mx AS (
+  SELECT LEAST(MAX(CASE WHEN event_type = 'view' THEN ts END),
+               MAX(CASE WHEN event_type = 'click' THEN ts END)) AS m
+  FROM events
+),
+v AS (
+  SELECT event_id, user_id, ts FROM events, mx
+  WHERE event_type = 'view' AND ts <= m - INTERVAL 3 HOUR - INTERVAL 1 SECOND
+),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       c.event_id IS NOT NULL AS converted
+FROM v LEFT JOIN c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+"""
+
+
 STREAM_JOIN_QUERIES = [
     Q(
         "stream_stream_interval_join",
         stream_stream_interval_join,
         STREAM_STREAM_JOIN_ORACLE,
         "stream-stream interval join, watermarked state",
+    ),
+    Q(
+        "stream_stream_outer_join",
+        stream_stream_outer_join,
+        STREAM_OUTER_JOIN_ORACLE,
+        "stream-stream LEFT OUTER interval join, watermark-decided unmatched rows",
     ),
     Q(
         "stream_static_enrich",
