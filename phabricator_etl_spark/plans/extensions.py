@@ -454,6 +454,44 @@ FROM events
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): the table-function extension point — one input row
+# fans out to N output rows with a DECLARED schema, consumed via LATERAL
+# join. Completes the user-function family next to scalar pandas_udf,
+# mapInPandas, applyInPandas, and applyInPandasWithState. Row-at-a-time
+# Python IS the slow path (SURVEY §2.10) — the demo runs over the 25-row
+# nation dim; at scale the same fan-out over big tables should be the
+# built-in explode/posexplode the oracle states.
+# ---------------------------------------------------------------------------
+
+def udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split()):
+                yield tok, i
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_udtf_src")
+    return spark.sql(
+        """
+        SELECT n_name, token, pos
+        FROM nation_udtf_src, LATERAL split_tokens(n_name)
+        """
+    )
+
+
+UDTF_LATERAL_ORACLE = r"""
+WITH s AS (SELECT n_name, regexp_split_to_array(n_name, '\s+') AS sp FROM nation)
+SELECT n_name, sp[CAST(i AS INT)] AS token, CAST(i - 1 AS INT) AS pos
+FROM s, LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i) t
+"""
+
+
 EXTENSION_QUERIES = [
     Q("asof_join_events_orders", asof_join_events_orders, ASOF_ORACLE, "as-of join via union trick"),
     Q("window_lead_lag", window_lead_lag, LEAD_LAG_ORACLE, "lead/lag timeline"),
@@ -463,6 +501,7 @@ EXTENSION_QUERIES = [
     Q("w3_first_by_struct_min", w3_first_by_struct_min, W3_STRUCT_ORACLE, "no-window top-1 via struct-min"),
     Q("sink_partitioned_roundtrip", sink_partitioned_roundtrip, SINK_ORACLE, "ym-partitioned sink + pruned read"),
     Q("pandas_udf_quality", pandas_udf_quality, PANDAS_QUALITY_ORACLE, "Arrow pandas_udf parity"),
+    Q("udtf_lateral_tokens", udtf_lateral_tokens, UDTF_LATERAL_ORACLE, "Python UDTF via LATERAL join"),
     Q("grouped_map_regression", grouped_map_regression, GROUPED_REGR_ORACLE, "applyInPandas per-group OLS fit"),
     Q("scd2_order_intervals", scd2_order_intervals, SCD2_ORACLE, "SCD2 validity intervals via lead"),
     Q("window_time_range", window_time_range, TIME_RANGE_ORACLE, "time-valued RANGE frame"),
