@@ -328,23 +328,31 @@ DEDUP_SIMHASH_ORACLE = _simhash_oracle()
 
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup: fixed-point quantized dot product (exact integer
-# math, bit-identical across engines). Candidates come from a coarse sign-bit
-# bucket on the first 8 dims — the LSH-flavored scale path; the oracle
-# replicates the same bucketing so both engines see the same pairs.
+# math, bit-identical across engines). Candidates come from MULTI-BAND
+# sign-bit buckets (the same banded hyperplane-LSH construction as
+# similarity.ann_lsh_bucket): a pair is a candidate if its sign pattern
+# agrees on ANY of the COS_BANDS disjoint COS_BAND_BITS-dim slices. One
+# 4-bit band alone recovers ~14% of true cos>=0.3 pairs on this corpus
+# (per-dim sign agreement at the threshold is ~0.60 => 0.60^4 per band);
+# 12 bands recover ~80% (tests/test_clustering.py measures the floor).
+# Bands/bits are the recall/cost dials; the join stays equi on
+# (band, bucket) — never a crossJoin.
 # ---------------------------------------------------------------------------
 
 COSINE_NEARDUP_X1E8 = 30_000_000  # cos >= 0.3 at scale 1e8
-SIGN_BUCKET_DIMS = 4
+COS_BAND_BITS = 4
+COS_BANDS = 12  # band t hashes dims [4t+1 .. 4t+4]
 
 
 def _quantize(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * COSINE_SCALE).cast("long"))
 
 
-def _sign_bucket(qcol: F.Column) -> F.Column:
+def _sign_bucket(qcol: F.Column, band: int = 0) -> F.Column:
     bucket = F.lit(0)
-    for j in range(SIGN_BUCKET_DIMS):
-        bucket = bucket + F.when(F.element_at(qcol, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(COS_BAND_BITS):
+        dim = band * COS_BAND_BITS + j + 1
+        bucket = bucket + F.when(F.element_at(qcol, dim) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
 
@@ -353,33 +361,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _quantize(F.col("embedding")).alias("qe"),
-    ).withColumn("bucket", _sign_bucket(F.col("qe")))
-    a = q.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"), "bucket")
-    b = q.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"), "bucket")
+    )
+    buckets = F.array(*[_sign_bucket(F.col("qe"), t) for t in range(COS_BANDS)])
+    long = q.select("vec_id", "qe", F.posexplode(buckets).alias("band", "bucket"))
+    a = long.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"), "band", "bucket")
+    b = long.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"), "band", "bucket")
     dot = F.aggregate(F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v)
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "qa", "qb")
+        .dropDuplicates(["a", "b"])  # any-band union, score once
         .withColumn("dot_q", dot)
         .filter(F.col("dot_q") >= COSINE_NEARDUP_X1E8)
         .select("a", "b", "dot_q")
     )
 
 
+def _cos_band_sql(t: int) -> str:
+    return " + ".join(
+        f"CASE WHEN qe[{t * COS_BAND_BITS + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(COS_BAND_BITS)
+    )
+
+
+_COS_LONG_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, qe, {t} AS band, {_cos_band_sql(t)} AS bucket FROM q"
+    for t in range(COS_BANDS)
+)
+
 DEDUP_COSINE_ORACLE = f"""
 WITH q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_SCALE}) AS BIGINT)) AS qe
   FROM embeddings
-), qb AS (
-  SELECT vec_id, qe,
-         {" + ".join(f"CASE WHEN qe[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END" for j in range(SIGN_BUCKET_DIMS))} AS bucket
-  FROM q
+), long AS ({_COS_LONG_SQL}),
+cands AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, x.qe AS qa, y.qe AS qb
+  FROM long x JOIN long y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
-SELECT x.vec_id AS a, y.vec_id AS b,
-       CAST(list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) AS BIGINT) AS dot_q
-FROM qb x JOIN qb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE list_sum(list_transform(range(1, len(x.qe) + 1), i -> x.qe[i] * y.qe[i])) >= {COSINE_NEARDUP_X1E8}
+SELECT a, b,
+       CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS BIGINT) AS dot_q
+FROM cands
+WHERE list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) >= {COSINE_NEARDUP_X1E8}
 """
 
 

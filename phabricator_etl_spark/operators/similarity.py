@@ -189,7 +189,14 @@ WHERE rank <= {TOP_K}
 
 def ann_ivf_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with nprobe=1: scan only the query's coarse cell (label). The
-    inverted-file equi-join prunes the corpus to ~1/n_cells of its size."""
+    inverted-file equi-join prunes the corpus to ~1/n_cells of its size.
+
+    Recall caveat, measured: the driver's `label` column is NOT a geometric
+    clustering of these embeddings (same-label mean cosine == random), so
+    probe1 recall here is ~0.08 — the query demonstrates the inverted-file
+    JOIN SHAPE, not retrieval quality. The ann_ivf_kmeans variant
+    (operators/clustering.py) learns real Voronoi cells; on data with actual
+    cluster structure nprobe trades recall against scanned fraction."""
     q = _quantized(spark, sf_dir)
     queries = q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"), F.col("label").alias("cell")

@@ -129,3 +129,33 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_smoke):
     assert truth, "brute-force top-k returned nothing"
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low vs brute force"
+
+
+def test_cosine_neardup_recall_vs_exhaustive(spark, sf_smoke):
+    """The banded sign-bucket candidate generation must recover most true
+    cos >= threshold pairs (one 4-bit band alone recovers ~14%). Truth is
+    the exhaustive quantized all-pairs check computed in numpy."""
+    import numpy as np
+
+    from phabricator_etl_spark.operators.dedup import (
+        COSINE_NEARDUP_X1E8,
+        COSINE_SCALE,
+        dedup_embedding_cosine,
+    )
+    from phabricator_etl_spark.sources.catalog import load_table
+
+    pdf = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding").toPandas()
+    Q = np.round(np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) * COSINE_SCALE)
+    ids = pdf["vec_id"].to_numpy()
+    D = Q @ Q.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = D[iu] >= COSINE_NEARDUP_X1E8
+    truth = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    found = {(r["a"], r["b"]) for r in dedup_embedding_cosine(spark, sf_smoke).collect()}
+    assert found <= truth, "detected pairs must be a subset of true pairs (exact verify step)"
+    assert truth, "smoke corpus has no true near-dup pairs — threshold too high"
+    recall = len(found) / len(truth)
+    assert recall >= 0.6, f"banded cosine dedup recall {recall:.2f} too low"
