@@ -429,6 +429,43 @@ FROM events
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Bitwise battery: AND/OR/XOR/shifts/popcount/NOT over int64 — the last
+# scalar family (used by every hash/sketch/bitmap operator: SimHash bands,
+# LSH bucket codes, bitmap indexes). Pure codegen projection.
+# --------------------------------------------------------------------------
+
+def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    c = F.col("o_custkey").cast("long")
+    return o.select(
+        k.alias("o_orderkey"),
+        k.bitwiseAND(c).alias("b_and"),
+        k.bitwiseOR(c).alias("b_or"),
+        k.bitwiseXOR(c).alias("b_xor"),
+        F.shiftleft(k, 3).alias("b_shl"),
+        F.shiftright(k, 2).alias("b_shr"),
+        F.bit_count(k).cast("long").alias("b_pop"),
+        F.bitwise_not(k).alias("b_not"),
+    )
+
+
+FN_BITWISE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderkey & o_custkey AS b_and,
+       o_orderkey | o_custkey AS b_or,
+       xor(o_orderkey, o_custkey) AS b_xor,
+       o_orderkey << 3 AS b_shl,
+       o_orderkey >> 2 AS b_shr,
+       CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS b_pop,
+       ~CAST(o_orderkey AS BIGINT) AS b_not
+FROM orders
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -440,4 +477,5 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_percentile_exact", fn_percentile_exact, FN_PERCENTILE_ORACLE, "exact type-7 percentiles per group"),
     Q("fn_map_battery", fn_map_battery, FN_MAP_ORACLE, "MapType algebra battery"),
     Q("fn_try_battery", fn_try_battery, FN_TRY_ORACLE, "ANSI try_* error-safe battery"),
+    Q("fn_bitwise_battery", fn_bitwise_battery, FN_BITWISE_ORACLE, "bitwise int64 battery"),
 ]
