@@ -450,6 +450,79 @@ ORDER BY doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters, two-pass: per-partition Misra-Gries summaries (bounded
+# memory: CAP counters per partition regardless of input size) generate the
+# candidate set; a second pass exactly counts ONLY the candidates and filters
+# to the true threshold. With CAP = 2*HH_K, any token of global frequency
+# > n/HH_K must survive in at least one partition (if it survived nowhere,
+# f_i <= n_i/(CAP+1) in every partition i, so f <= n/(CAP+1) < n/HH_K) —
+# no false negatives, and the exact second pass removes false positives.
+# The OUTPUT is therefore exactly the true heavy-hitter set: approximate
+# machinery, exact answer, full hash-oracle. This is the bounded-memory
+# plan for "top words in 100 TB" where a full groupBy's intermediate state
+# is the bottleneck: pass 1 shuffles CAP rows/partition, pass 2 shuffles
+# only candidate-token rows (broadcast-semi-joined at the scan).
+# ---------------------------------------------------------------------------
+
+HH_K = 30  # heavy hitter = frequency > n/HH_K (~16 of 31 tokens qualify at sf0.01)
+HH_CAP = 2 * HH_K
+
+
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("token"))
+
+    def misra_gries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < HH_CAP:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters)})
+
+    cands = toks.mapInPandas(misra_gries, "token string").distinct()
+    counts = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K > F.col("n_total"))
+        .select("token", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )
+
+
+HEAVY_HITTERS_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt
+FROM counts
+WHERE cnt * {HH_K} > (SELECT COUNT(*) FROM toks)
+ORDER BY cnt DESC, token ASC
+"""
+
+
 CORPUS_QUERIES = [
     Q(
         "dedup_fuzzy_levenshtein",
@@ -498,5 +571,11 @@ CORPUS_QUERIES = [
         corpus_decontaminate,
         DECONTAMINATE_ORACLE,
         "eval-set 5-gram contamination check (broadcast semi-join)",
+    ),
+    Q(
+        "corpus_heavy_hitters",
+        corpus_heavy_hitters,
+        HEAVY_HITTERS_ORACLE,
+        "two-pass Misra-Gries heavy hitters (exact output)",
     ),
 ]

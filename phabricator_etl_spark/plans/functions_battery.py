@@ -466,6 +466,77 @@ FROM orders
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Regex battery: extract / extract-all / replace / count / match over the
+# documents text. Spark compiles Java regex, DuckDB RE2 — the battery sticks
+# to the shared subset (no backrefs/lookaround), which is also the subset
+# that stays fast at 100 TB (RE2-safe patterns are linear-time).
+# --------------------------------------------------------------------------
+
+def fn_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    pat = r"[a-z]+a[a-z]*"  # words containing 'a'
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_extract(t, pat, 0).alias("first_a_word"),
+        F.array_join(F.regexp_extract_all(t, F.lit(pat), 0), ",").alias("all_a_words"),
+        F.regexp_count(t, F.lit(pat)).cast("long").alias("n_a_words"),
+        F.regexp_replace(t, pat, "_").alias("replaced"),
+        t.rlike("vector").alias("mentions_vector"),
+    )
+
+
+FN_REGEX_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COALESCE(regexp_extract(text, '[a-z]+a[a-z]*'), '') AS first_a_word,
+       array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), ',') AS all_a_words,
+       CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS n_a_words,
+       regexp_replace(text, '[a-z]+a[a-z]*', '_', 'g') AS replaced,
+       regexp_matches(text, 'vector') AS mentions_vector
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Window value-function family: first/last/nth over explicit frames — the
+# analytic functions beyond rank/lead/lag the other window batteries cover.
+# last_value needs the full-partition frame (the default frame ends at
+# CURRENT ROW — the classic silent-wrong-answer trap, stated explicitly).
+# --------------------------------------------------------------------------
+
+def fn_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.first_value(F.col("o_orderkey").cast("long")).over(full).alias("first_order"),
+        F.last_value(F.col("o_orderkey").cast("long")).over(full).alias("last_order"),
+        F.nth_value(F.col("o_orderkey").cast("long"), 2).over(full).alias("second_order"),
+    )
+
+
+FN_WINDOW_VALUE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_order,
+       CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_order,
+       CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -478,4 +549,6 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_map_battery", fn_map_battery, FN_MAP_ORACLE, "MapType algebra battery"),
     Q("fn_try_battery", fn_try_battery, FN_TRY_ORACLE, "ANSI try_* error-safe battery"),
     Q("fn_bitwise_battery", fn_bitwise_battery, FN_BITWISE_ORACLE, "bitwise int64 battery"),
+    Q("fn_regex_battery", fn_regex_battery, FN_REGEX_ORACLE, "RE2-safe regex battery"),
+    Q("fn_window_value_family", fn_window_value_family, FN_WINDOW_VALUE_ORACLE, "first/last/nth_value frames"),
 ]
