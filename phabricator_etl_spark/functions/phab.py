@@ -167,6 +167,6 @@ def guard_staging_table_id(table_id: Column) -> Column:
 
 
 def filter_state_changes(df: DataFrame, txn_type_col: str = "transactionType") -> DataFrame:
-    """P10 (reference: stats.py:523-525): restrict to the 14 state-change
+    """P10 (reference: stats.py:523-525): restrict to the 13 state-change
     transaction types."""
     return df.filter(F.col(txn_type_col).isin(STATE_CHANGE_TYPES))

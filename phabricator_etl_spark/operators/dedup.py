@@ -358,20 +358,32 @@ def _sign_bucket(qcol: F.Column, band: int = 0) -> F.Column:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(_t(spark, sf_dir, "embeddings"))
+    # cache: the quantized table feeds the banding explode AND both sides of
+    # the scoring join (same reuse pattern as dedup_minhash_lsh's sig table)
     q = e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _quantize(F.col("embedding")).alias("qe"),
-    )
+    ).localCheckpoint(eager=True)
     buckets = F.array(*[_sign_bucket(F.col("qe"), t) for t in range(COS_BANDS)])
-    long = q.select("vec_id", "qe", F.posexplode(buckets).alias("band", "bucket"))
-    a = long.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"), "band", "bucket")
-    b = long.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"), "band", "bucket")
+    # Candidate pairs are generated ID-ONLY: the 12-band posexplode and the
+    # (band, bucket) equi-join carry just vec_id, so the fan-out shuffles a
+    # few bytes per row. The full quantized vectors join in ONCE PER SIDE
+    # after the pair set is deduped — at 100 TB this removes a ~12x
+    # embedding-width multiplier from the candidate-join shuffle.
+    long = q.select("vec_id", F.posexplode(buckets).alias("band", "bucket"))
+    cand = (
+        long.alias("x")
+        .join(long.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()  # any-band union, score once
+    )
+    qa = q.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"))
     dot = F.aggregate(F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v)
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "qa", "qb")
-        .dropDuplicates(["a", "b"])  # any-band union, score once
+        cand.join(qa, "a")
+        .join(qb, "b")
         .withColumn("dot_q", dot)
         .filter(F.col("dot_q") >= COSINE_NEARDUP_X1E8)
         .select("a", "b", "dot_q")

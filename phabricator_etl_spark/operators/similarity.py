@@ -138,22 +138,34 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors on this corpus, 5 bits x 12 tables ~65-70%, measured in
     tests/test_clustering.py). Candidate generation stays an equi-join on
     (table, sketch) — never a crossJoin — so the scale path holds: corpus
-    explodes to L rows/vector, collides per bucket, dedups (query, cand)
-    before the expensive exact scoring."""
-    q = _quantized(spark, sf_dir)
+    explodes to L rows/vector ID-ONLY, collides per bucket, dedups
+    (query, cand) id pairs, and only THEN joins the vectors back in for the
+    exact scoring — the L-way fan-out never shuffles an embedding (the
+    round-3 plan carried c_qe through the collision join: ~12x embedding
+    width of useless shuffle at scale)."""
+    # cache: the quantized table feeds the sketch explode AND both sides of
+    # the scoring join (same reuse pattern as dedup_embedding_cosine)
+    q = _quantized(spark, sf_dir).select("vec_id", "qe").localCheckpoint(eager=True)
     sketches = F.array(*[_sketch("qe", t) for t in range(LSH_TABLES)])
-    long = q.select("vec_id", "qe", F.posexplode(sketches).alias("table", "sketch"))
-    queries = long.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"), "table", "sketch"
+    long = q.select("vec_id", F.posexplode(sketches).alias("table", "sketch"))
+    q_long = long.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "sketch"
     )
-    corpus = long.select(F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe"), "table", "sketch")
     cands = (
-        corpus.join(F.broadcast(queries), ["table", "sketch"])
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", "q_qe", "c_qe")
-        .dropDuplicates(["query_id", "cand_id"])  # any-table union, score once
+        long.join(F.broadcast(q_long), ["table", "sketch"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()  # any-table union, score once
     )
-    scored = cands.withColumn("dot_q", _dot("q_qe", "c_qe"))
+    qv = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    cv = q.select(F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe"))
+    scored = (
+        cands.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dot_q", _dot("q_qe", "c_qe"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

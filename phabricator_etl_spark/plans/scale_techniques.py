@@ -154,7 +154,12 @@ def sorted_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join(tempfile.gettempdir(), f"sorted_li_{tag}")
-    marker = os.path.join(stage, "_STAGED_v1")
+    # Marker carries a content fingerprint (source mtime+size): if the
+    # source lineitem.parquet is regenerated under the same sf_dir basename,
+    # the stale stage is rebuilt instead of silently reused.
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    marker = os.path.join(stage, f"_STAGED_v2_{int(st.st_mtime)}_{st.st_size}")
     if not os.path.exists(marker):
         shutil.rmtree(stage, ignore_errors=True)
         (

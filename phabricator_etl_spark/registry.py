@@ -145,6 +145,12 @@ def all_queries() -> list[Q]:
 # the incremental protocol, and Structured Streaming — instead of 50
 # variations of relational shapes. Everything else still runs in bench and
 # remains available through queries().
+#
+# FROZEN as of round 3: keep these exact 50 names in this order so
+# CORRECTNESS_r{N}.json stays comparable across rounds. Queries added after
+# position 50 are verified only by tools/strict_check.py + pytest (the
+# driver never records them) — that weaker evidence tier is deliberate and
+# documented; re-curate only with a strong reason.
 GATE_PRIORITY = [
     # relational core: P/J/A/W/setops/C/F + CC + 6 TPC-H shapes (20)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",

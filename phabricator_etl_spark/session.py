@@ -37,10 +37,6 @@ def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: in
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Driver testdata stores events.ts as TIMESTAMP(NANOS) which the
-        # vectorized reader rejects; read it as long (ns since epoch) and
-        # normalize to a timestamp at scan time (sources/catalog.py).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # The console progress bar writes \r-fragments to stderr with no

@@ -35,11 +35,13 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing physical quirks at scan time.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS); with
-    `spark.sql.legacy.parquet.nanosAsLong` it scans as ns-since-epoch, which
-    we convert back to a timestamp (µs precision) here so every downstream
-    plan sees a plain TimestampType — the same "normalize at scan" move the
-    SURVEY prescribes for the reference's BINARY phid columns (§1.2).
+    Current driver testdata stores events.ts as parquet TIMESTAMP(MICROS,
+    no-TZ), which scans directly as a timestamp — no config needed. Earlier
+    testdata generations used TIMESTAMP(NANOS) (scanning as ns-since-epoch
+    long under `spark.sql.legacy.parquet.nanosAsLong`); the LongType guard
+    below tolerates that physical layout if it ever comes back — the same
+    "normalize at scan" move the SURVEY prescribes for the reference's
+    BINARY phid columns (§1.2).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

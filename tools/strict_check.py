@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def norm_cell(v) -> str:
     # Full-precision canonical repr. Intentionally distinguishes 5 from 5.0:
     # a dtype difference between engines is exactly what the driver's hash
-    # sees, so it must fail here too.
+    # sees, so it must fail here too. NaN normalizes to "NULL" (matching
+    # oracle_check._norm_cell): pandas renders SQL NULL in float columns as
+    # NaN, so NULL-vs-NaN is not engine-distinguishable post-toPandas.
     import numpy as np
 
     if v is None:
@@ -36,12 +38,10 @@ def norm_cell(v) -> str:
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
-            return "NaN"
+            return "NULL"
         return repr(f)
     if isinstance(v, np.integer):
         return repr(int(v))
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
     return repr(v)
 
 
@@ -49,8 +49,7 @@ def frame_key(pdf):
     cols = sorted(pdf.columns)
     rows = []
     for t in pdf[cols].itertuples(index=False, name=None):
-        # pandas NaN for missing in object/float columns
-        rows.append(tuple(norm_cell(v) if not (isinstance(v, float) and math.isnan(v)) else "NULL_OR_NAN" for v in t))
+        rows.append(tuple(norm_cell(v) for v in t))
     rows.sort()
     return cols, rows
 
