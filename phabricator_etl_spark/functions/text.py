@@ -208,9 +208,82 @@ FROM documents
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher-class quality filter
+    (Rae et al. 2021 §A1.1: documents dominated by a repeated n-gram are
+    boilerplate/spam): per doc, the duplicate-token fraction and the
+    coverage of the single most frequent bigram, both as exact x1000
+    integers.
+
+    Shape at scale: one explode -> (doc_id, bigram) count -> per-doc MAX.
+    Both aggregations hash-partition on doc_id (the explode output is
+    already doc-local), partial-aggregate map-side, and the result is one
+    row per doc — linear shuffle, no window, no skew risk beyond document
+    length itself (bounded upstream by ingest-side truncation)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = _tokens()
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks"))
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bg = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        stats.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.lit(1000.0) * (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"))
+            .cast("long")
+            .alias("dup_token_x1000"),
+            F.coalesce(
+                F.round(F.lit(1000.0) * F.lit(2) * F.col("top_c") / F.col("n_tokens")).cast("long"),
+                F.lit(0),
+            ).alias("top_bigram_x1000"),
+        )
+    )
+
+
+REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_split_to_array(text, '\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct FROM t
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t
+), top AS (
+  SELECT doc_id, MAX(c) AS top_c
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(round(1000.0 * (n_tokens - n_distinct) / n_tokens) AS BIGINT) AS dup_token_x1000,
+       COALESCE(CAST(round(1000.0 * 2 * top_c / n_tokens) AS BIGINT), 0) AS top_bigram_x1000
+FROM stats s LEFT JOIN top USING (doc_id)
+"""
+
+
 TEXT_QUERIES = [
     Q("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE, "token/char/punct counting"),
     Q("text_lang_id", text_lang_id, LANG_ID_ORACLE, "marker-token language ID"),
     Q("text_quality_score", text_quality_score, QUALITY_ORACLE, "integer quality scoring"),
     Q("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE, "rolling-hash fingerprint"),
+    Q("text_repetition_stats", text_repetition_stats, REPETITION_ORACLE, "Gopher-style intra-doc repetition signals"),
 ]

@@ -523,6 +523,145 @@ ORDER BY cnt DESC, token ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling: downsample each domain (here: lang) so the kept
+# corpus approaches a target mixture — the "data mixing" stage every
+# pretraining corpus goes through (e.g. weighting web vs books vs code).
+# Deterministic hash-threshold Bernoulli: a row survives iff
+# md5(doc_id) mod 2^20 < threshold(domain), where the threshold is derived
+# with pure integer arithmetic from the target per-mille shares and the
+# observed domain counts, scaled to the largest total the most
+# under-represented domain allows (downsampling only — no row is ever
+# duplicated).
+#
+# Scale: the observed counts are one partial-aggregated groupBy on a
+# low-cardinality key; the thresholds are a broadcast-tiny table; the keep
+# decision is a map-side codegen filter — the corpus itself never shuffles.
+# The exact-count alternative (per-domain rank by hash, keep first n) costs
+# a per-domain sort; at 100 TB the Bernoulli form is the right default and
+# its mixture error is O(1/sqrt(n)) per domain.
+# ---------------------------------------------------------------------------
+
+MIX_TARGET_PERMILLE: dict[str, int] = {"en": 400, "zh": 250, "de": 150, "es": 100, "fr": 100}
+MIX_HASH_MOD = 1 << 20
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    share = F.create_map(*[F.lit(x) for kv in MIX_TARGET_PERMILLE.items() for x in kv])
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "share", F.element_at(share, F.col("lang"))
+    )
+    # largest achievable total: the most under-represented domain caps it
+    cap = counts.agg(F.min(F.floor(F.col("n_docs") * 1000 / F.col("share"))).alias("n_total"))
+    thr = (
+        counts.crossJoin(F.broadcast(cap))
+        .withColumn("n_target", F.floor(F.col("n_total") * F.col("share") / 1000))
+        .withColumn("thr", F.floor(F.lit(MIX_HASH_MOD) * F.col("n_target") / F.col("n_docs")))
+        .select("lang", "n_docs", "thr")
+    )
+    kept = (
+        d.join(F.broadcast(thr), "lang")
+        .filter(md5_long(F.col("doc_id").cast("string")) % MIX_HASH_MOD < F.col("thr"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(thr, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("thr").cast("long").alias("keep_threshold"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+_MIX_SHARE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_TARGET_PERMILLE.items()
+) + " END"
+
+MIX_SAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+), counts AS (
+  SELECT lang, COUNT(*) AS n_docs, {_MIX_SHARE_SQL} AS share FROM d GROUP BY lang
+), cap AS (
+  SELECT MIN(CAST(floor(n_docs * 1000 / share) AS BIGINT)) AS n_total FROM counts
+), thr AS (
+  SELECT lang, n_docs,
+         CAST(floor({MIX_HASH_MOD} * floor(n_total * share / 1000) / n_docs) AS BIGINT) AS thr
+  FROM counts, cap
+), kept AS (
+  SELECT d.lang FROM d JOIN thr USING (lang)
+  WHERE {md5_long_sql('CAST(doc_id AS VARCHAR)')} % {MIX_HASH_MOD} < thr
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, thr AS keep_threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept JOIN thr USING (lang)
+GROUP BY lang, n_docs, thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: scrub emails/phone-shaped strings before training — a
+# mandatory pass on crawled text. The synthetic corpus contains no PII, so
+# the query first injects a deterministic contact line per doc (both engines
+# build the identical string), then counts and strips the patterns; the
+# md5 of the redacted text proves byte-identical replacement cross-engine.
+# Pure codegen projection: no shuffle, no Python — at 100 TB this runs at
+# scan speed.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "555-[0-9]+"
+
+
+def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.col("doc_id").cast("string"),
+    )
+    base = d.select(F.col("doc_id").cast("long").alias("doc_id"), synth.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        md5_long(redacted).alias("redacted_hash"),
+    )
+
+
+REDACT_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS r
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       {md5_long_sql('r')} AS redacted_hash
+FROM red
+"""
+
+
 CORPUS_QUERIES = [
     Q(
         "dedup_fuzzy_levenshtein",
@@ -577,5 +716,17 @@ CORPUS_QUERIES = [
         corpus_heavy_hitters,
         HEAVY_HITTERS_ORACLE,
         "two-pass Misra-Gries heavy hitters (exact output)",
+    ),
+    Q(
+        "corpus_mix_sample",
+        corpus_mix_sample,
+        MIX_SAMPLE_ORACLE,
+        "deterministic hash-Bernoulli domain-mixture downsampling",
+    ),
+    Q(
+        "corpus_redact_pii",
+        corpus_redact_pii,
+        REDACT_ORACLE,
+        "email/phone redaction with cross-engine byte-identity proof",
     ),
 ]
