@@ -1,0 +1,238 @@
+"""Mergeable-sketch operators: HyperLogLog distinct and Bloom-prefilter join.
+
+Greenfield scale-technique family: the two sketches every 100 TB pipeline
+leans on, built so their results are *deterministically identical* across
+Spark and DuckDB (both run the same arithmetic on the same md5-derived
+integers), which lets the driver's value-hash gate verify them exactly —
+something a library HLL (engine-private hashing, float register sums) can
+never offer.
+
+- sketch_hll_distinct: classic Flajolet HLL (m=256 registers) per group.
+  The register sum is kept as an EXACT 64-bit integer (sum of
+  2^(SCALE - rho), SCALE=53) so no floating accumulation order can differ
+  between engines; the single float division at the end is bit-identical.
+  Emitted next to the exact COUNT(DISTINCT) so relative error is visible in
+  the result itself. At 100 TB the HLL path is one narrow shuffle of
+  (group, bucket, max-rho) partial states — registers merge with MAX, the
+  textbook mergeable-sketch property — while the exact side shuffles every
+  distinct key.
+
+- join_bloom_prefilter: build a 2^17-bit Bloom filter (k=3) over the small
+  side's join keys as a 2048-word bitmap assembled entirely IN Spark
+  (groupBy word -> BIT_OR, map_from_entries, one-row dense array —
+  no driver collect), broadcast it, and prefilter the probe side in the
+  scan stage before the exact join confirms survivors. The bitmap is
+  CONSTANT-sized regardless of data scale; at 100 TB this is Spark's own
+  runtime bloom-filter join reified as an explicit, testable operator. The
+  final result is exact (the confirm join removes false positives), so the
+  oracle is the plain semi-join — the sketch must be invisible in results.
+
+Bloom hashing uses xxhash64 (JVM codegen, no cross-engine parity needed —
+the oracle never sees the filter); HLL hashing uses md5 (functions/hashing)
+because its register VALUES are part of the output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+from ..functions.hashing import md5_long, md5_long_sql
+
+# --- HLL parameters --------------------------------------------------------
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_SCALE = 53  # 2^(SCALE - rho) stays an exact int64: rho <= 53, m*2^52 < 2^61
+# alpha_256 * m^2 * 2^SCALE. The DuckDB oracle folds the literal expression
+# left-to-right in IEEE doubles; Python folds the same expression to the
+# same bits, and Spark gets that value as a double literal (an F.expr of the
+# string would NOT work: Spark SQL parses `0.7213` as a DECIMAL literal and
+# the decimal division rounds differently in the last ulp).
+_HLL_NUM = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0 * {float(1 << HLL_SCALE):.1f}"
+_HLL_NUM_VALUE = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << HLL_SCALE)
+
+# --- Bloom parameters ------------------------------------------------------
+BLOOM_BITS = 1 << 17  # m = 131072 bits
+BLOOM_WORDS = BLOOM_BITS // 64  # 2048 longs = 16 KB bitmap
+BLOOM_K = 3  # hash functions
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority: HLL estimate next to exact.
+
+    rho = (trailing zeros of the hash's upper bits) + 1, derived loop-free:
+    lsb = w & -w is an exact power of two, log2 of it is exact in a double.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", md5_long(F.col("o_custkey").cast("string")).alias("h")
+    )
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_SCALE)).otherwise(
+        (F.log2(w.bitwiseAND(-w)).cast("int") + F.lit(1)).cast("long")
+    )
+    regs = (
+        o.select("o_orderpriority", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per_group = (
+        regs.withColumn("term", F.expr(f"shiftleft(1L, {HLL_SCALE} - cast(mj as int))"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_used"), F.sum("term").alias("s_used"))
+    )
+    zeros = F.lit(HLL_M) - F.col("n_used")
+    # Absent registers hold rho=0 -> contribute 2^SCALE each to the scaled sum.
+    s_total = F.col("s_used") + zeros * F.lit(1 << HLL_SCALE)
+    est_raw = F.lit(_HLL_NUM_VALUE) / s_total.cast("double")
+    estimate = F.when(
+        (est_raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(est_raw)
+    exact = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").cast("long").alias("exact_distinct"))
+    )
+    return (
+        per_group.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n_used").cast("long").alias("n_registers_used"),
+            s_total.cast("long").alias("reg_sum_scaled"),
+            # floor(x * 10^4) on bit-identical doubles is deterministic;
+            # ROUND is not (Spark re-rounds via BigDecimal HALF_UP, DuckDB
+            # rounds the double directly — they disagree on .xxxx5 edges).
+            F.floor(estimate * 10000).cast("long").alias("hll_estimate_x10000"),
+            "exact_distinct",
+        )
+    )
+
+
+HLL_ORACLE = f"""
+WITH hashed AS (
+  SELECT o_orderpriority, {md5_long_sql('CAST(o_custkey AS VARCHAR)')} AS h FROM orders
+), rhod AS (
+  SELECT o_orderpriority, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {HLL_SCALE}
+              ELSE CAST(log2((h >> {HLL_P}) & (-(h >> {HLL_P}))) AS INT) + 1 END AS rho
+  FROM hashed
+), regs AS (
+  SELECT o_orderpriority, bucket, MAX(rho) AS mj FROM rhod GROUP BY 1, 2
+), per_group AS (
+  SELECT o_orderpriority, COUNT(*) AS n_used,
+         SUM((1::BIGINT) << ({HLL_SCALE} - mj))::BIGINT AS s_used
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_orderpriority, n_used,
+         s_used + ({HLL_M} - n_used) * ((1::BIGINT) << {HLL_SCALE}) AS s_total
+  FROM per_group
+)
+SELECT s.o_orderpriority,
+       CAST(s.n_used AS BIGINT) AS n_registers_used,
+       CAST(s.s_total AS BIGINT) AS reg_sum_scaled,
+       CAST(FLOOR((CASE WHEN ({_HLL_NUM} / CAST(s.s_total AS DOUBLE)) <= {2.5 * HLL_M}
+                        AND ({HLL_M} - s.n_used) > 0
+                   THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - s.n_used AS DOUBLE))
+                   ELSE {_HLL_NUM} / CAST(s.s_total AS DOUBLE) END) * 10000) AS BIGINT)
+         AS hll_estimate_x10000,
+       e.exact_distinct
+FROM scored s JOIN exact e USING (o_orderpriority)
+"""
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """BLOOM_K bit positions in [0, BLOOM_BITS) per key (xxhash64 seeded by
+    a literal second column; % then +M fixes Java's signed remainder)."""
+    out = []
+    for i in range(BLOOM_K):
+        h = F.xxhash64(key, F.lit(i))
+        out.append((h % BLOOM_BITS + BLOOM_BITS) % BLOOM_BITS)
+    return out
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, with the orders->
+    lineitem semi-join prefiltered by a Bloom bitmap built on the fly."""
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    # Build: explode k positions -> (word, OR of masks) -> one dense array row.
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("bm"), i), F.lit(0).cast("long")),
+        ).alias("bloom")
+    )
+
+    # Probe: bitmap rides a broadcast 1-row crossJoin; the 3 bit tests are a
+    # codegen projection inside the lineitem scan stage — zero shuffle until
+    # only probable matches remain.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    probed = li.crossJoin(F.broadcast(bitmap))
+    for i, p in enumerate(_bloom_positions(F.col("l_orderkey"))):
+        probed = probed.withColumn(f"_p{i}", p)
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        word = F.shiftright(F.col(f"_p{i}"), 6).cast("int")
+        mask = F.expr(f"shiftleft(1L, cast(_p{i} % 64 as int))")
+        cond = cond & (F.element_at(F.col("bloom"), word + 1).bitwiseAND(mask) != 0)
+    survivors = probed.filter(cond).drop("bloom", *[f"_p{i}" for i in range(BLOOM_K)])
+
+    # Exact confirm (removes false positives); AQE picks broadcast/shuffled.
+    confirmed = survivors.join(keys, survivors.l_orderkey == keys.o_orderkey, "left_semi")
+    return (
+        confirmed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+BLOOM_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+SKETCH_QUERIES = [
+    Q(
+        "sketch_hll_distinct",
+        sketch_hll_distinct,
+        HLL_ORACLE,
+        "deterministic cross-engine HyperLogLog (exact-integer registers)",
+    ),
+    Q(
+        "join_bloom_prefilter",
+        join_bloom_prefilter,
+        BLOOM_ORACLE,
+        "Bloom-bitmap join prefilter with exact confirm (result sketch-invisible)",
+    ),
+]

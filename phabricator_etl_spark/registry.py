@@ -57,6 +57,18 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .operators.spans import SPAN_QUERIES
+
+        queries.extend(SPAN_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .operators.sketches import SKETCH_QUERIES
+
+        queries.extend(SKETCH_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .functions.text import TEXT_QUERIES
 
         queries.extend(TEXT_QUERIES)
