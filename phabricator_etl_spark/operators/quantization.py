@@ -1,0 +1,173 @@
+"""Product quantization (PQ) ANN: codebooks, ADC scoring, exact re-rank.
+
+The remaining member of the large-scale ANN family (brute force, hyperplane
+LSH, IVF-flat, IVF-kmeans live in operators/similarity.py / clustering.py):
+Jegou et al.'s "Product Quantization for Nearest Neighbor Search" re-expressed
+Spark-first.
+
+Pipeline:
+1. TRAIN  — split the 64-dim space into PQ_M=4 sub-spaces of 16 dims; fit a
+   PQ_K=16-centroid k-means codebook per sub-space (reusing
+   operators/clustering.kmeans_fit, which is deterministic: init = lowest
+   vec_ids, first-min tie-break).
+2. ENCODE — ONE Arrow `mapInPandas` pass over the corpus with all four
+   codebooks on a broadcast variable: each vector becomes 4 small ints.
+   This is the 100 TB payoff: the index the search touches is 4 codes per
+   vector (log2(16)*4 = 16 BITS of payload), not 64 floats — a ~128x
+   shrink of everything downstream of the scan.
+3. SCORE  — per (query, sub-space) lookup tables of inner products
+   (PQ_K entries each; the model, not data) ride a broadcast 1-row-per-query
+   table; ADC score = sum of 4 `element_at` lookups — a codegen projection
+   over the CODES table. The raw corpus is never shuffled and never read
+   again.
+4. RE-RANK — the top PQ_RERANK ADC candidates per query (a few dozen ids)
+   join back to the quantized-int vector table for an EXACT dot-product
+   re-rank, emitting the final top-5 in the same (query_id, cand_id, dot_q,
+   rank) shape as ann_topk_bruteforce so recall is directly measurable.
+
+Rows-only gate entry (k-means codebooks are not SQL-expressible); accuracy
+is certified by tests/test_quantization.py: recall@5 vs the exact
+brute-force truth, plus end-to-end determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+from .clustering import kmeans_fit
+from .similarity import COSINE_SCALE, N_QUERIES, TOP_K, _dot, _quantized
+
+PQ_M = 4  # sub-spaces
+PQ_K = 16  # codes per sub-space
+PQ_RERANK = 12 * TOP_K  # ADC shortlist size fed to the exact re-rank
+
+
+def _subdim(spark: SparkSession, sf_dir: str) -> int:
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").head()["embedding"])
+    assert dim % PQ_M == 0, f"dim {dim} not divisible by PQ_M={PQ_M}"
+    return dim // PQ_M
+
+
+_CODEBOOK_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _codebooks(spark: SparkSession, sf_dir: str):
+    """Per-sub-space (PQ_K, subdim) centroid matrices, driver-side (the
+    trained model: 4 * 16 * 16 doubles — parameter-sized, not data-sized)."""
+    key = (id(spark), sf_dir)
+    if key not in _CODEBOOK_CACHE:
+        import numpy as np
+
+        sub = _subdim(spark, sf_dir)
+        e = _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
+        books = []
+        for m in range(PQ_M):
+            subv = e.select("vec_id", F.slice("vec", m * sub + 1, sub).alias("vec"))
+            cents = kmeans_fit(subv, k=PQ_K).orderBy("cell").collect()
+            books.append(np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cents]))
+        _CODEBOOK_CACHE[key] = books
+    return _CODEBOOK_CACHE[key]
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> (vec_id, code0..code3): one vectorized pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    books = _codebooks(spark, sf_dir)
+    sub = books[0].shape[1]
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        B = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"]}
+            for m, C in enumerate(B):
+                Xm = X[:, m * sub : (m + 1) * sub]
+                d = (Xm * Xm).sum(1, keepdims=True) - 2.0 * (Xm @ C.T) + (C * C).sum(1)
+                out[f"code{m}"] = d.argmin(1).astype(np.int32)  # first-min tie-break
+            yield pd.DataFrame(out)
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    schema = "vec_id long, " + ", ".join(f"code{m} int" for m in range(PQ_M))
+    return e.mapInPandas(encode, schema)
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search: ADC shortlist over the 16-bit codes, exact int-dot re-rank."""
+    import numpy as np
+
+    books = _codebooks(spark, sf_dir)
+    sub = books[0].shape[1]
+    codes = pq_encode(spark, sf_dir)
+
+    # Query-side inner-product LUTs, built driver-side from the N_QUERIES
+    # query vectors (the bounded query batch, same convention as the other
+    # ANN entries): lut[m][j] = q_m . codebook[m][j].
+    qrows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").cast("long").alias("query_id"), "embedding")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r["embedding"], dtype=np.float64)
+        luts = [
+            (books[m] @ q[m * sub : (m + 1) * sub]).tolist() for m in range(PQ_M)
+        ]
+        lut_rows.append((r["query_id"], *luts))
+    lut_schema = "query_id long, " + ", ".join(f"lut{m} array<double>" for m in range(PQ_M))
+    luts = spark.createDataFrame(lut_rows, lut_schema)
+
+    adc = codes.crossJoin(F.broadcast(luts)).filter(F.col("vec_id") != F.col("query_id"))
+    score = sum(
+        F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    shortlist = (
+        adc.select("query_id", F.col("vec_id").alias("cand_id"), score.alias("adc"))
+        .withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+        .select("query_id", "cand_id")
+    )
+
+    # Exact re-rank on the shortlist only: integer dot on the quantized
+    # vectors (deterministic, same scale as ann_topk_bruteforce).
+    qt = _quantized(spark, sf_dir)
+    cand_vecs = shortlist.join(qt.select(F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe")), "cand_id")
+    query_vecs = qt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    rescored = cand_vecs.join(F.broadcast(query_vecs), "query_id").withColumn(
+        "dot_q", _dot("q_qe", "c_qe")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("cand_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "dot_q", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+QUANTIZATION_QUERIES = [
+    Q(
+        "ann_pq_adc",
+        ann_pq_adc,
+        None,
+        "product-quantization ANN: 16-bit codes, ADC shortlist, exact re-rank",
+    ),
+]

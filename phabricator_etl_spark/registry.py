@@ -69,6 +69,18 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .operators.quantization import QUANTIZATION_QUERIES
+
+        queries.extend(QUANTIZATION_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .plans.event_analytics import EVENT_ANALYTICS_QUERIES
+
+        queries.extend(EVENT_ANALYTICS_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .functions.text import TEXT_QUERIES
 
         queries.extend(TEXT_QUERIES)
