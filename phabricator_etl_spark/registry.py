@@ -81,6 +81,18 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .operators.triangles import TRIANGLE_QUERIES
+
+        queries.extend(TRIANGLE_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .plans.timeseries import TIMESERIES_QUERIES
+
+        queries.extend(TIMESERIES_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .functions.text import TEXT_QUERIES
 
         queries.extend(TEXT_QUERIES)

@@ -1,0 +1,59 @@
+"""Triangle-counting certification: known graphs and a brute-force oracle
+on a random-ish deterministic graph (the gate oracle covers the fixture
+graph; these cover the algorithm core on adversarial shapes)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from phabricator_etl_spark.operators.triangles import triangle_corner_counts
+
+
+def _edges_df(spark, pairs):
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    return spark.createDataFrame(canon, "a long, b long")
+
+
+def _brute(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    nodes = sorted({n for e in es for n in e})
+    tri_count = {n: 0 for n in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in es and (x, z) in es and (y, z) in es:
+            for n in (x, y, z):
+                tri_count[n] += 1
+    return {n: c for n, c in tri_count.items() if c}
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    pairs = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+    got = {r.n: (r.n_triangles, r.deg) for r in triangle_corner_counts(_edges_df(spark, pairs)).collect()}
+    assert got == {n: (3, 3) for n in (1, 2, 3, 4)}
+
+
+def test_star_has_no_triangles(spark):
+    pairs = [(0, i) for i in range(1, 8)]
+    assert triangle_corner_counts(_edges_df(spark, pairs)).count() == 0
+
+
+def test_hub_with_rim_matches_bruteforce(spark):
+    # hub 0 connected to a 6-cycle rim: triangles = 6 (hub + each rim edge).
+    # This is the degree-skew case the orientation exists for.
+    rim = [(i, i % 6 + 1) for i in range(1, 7)]
+    pairs = rim + [(0, i) for i in range(1, 7)]
+    expect = _brute(pairs)
+    got = {r.n: r.n_triangles for r in triangle_corner_counts(_edges_df(spark, pairs)).collect()}
+    assert got == expect
+    assert got[0] == 6
+
+
+def test_pseudorandom_graph_matches_bruteforce(spark):
+    # deterministic pseudo-random graph on 24 nodes
+    pairs = [
+        (u, v)
+        for u, v in combinations(range(24), 2)
+        if (u * 7919 + v * 104729) % 5 == 0
+    ]
+    expect = _brute(pairs)
+    got = {r.n: r.n_triangles for r in triangle_corner_counts(_edges_df(spark, pairs)).collect()}
+    assert got == expect
