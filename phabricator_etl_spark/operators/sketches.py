@@ -18,14 +18,14 @@ never offer.
   distinct key.
 
 - join_bloom_prefilter: build a 2^17-bit Bloom filter (k=3) over the small
-  side's join keys as a 2048-word bitmap assembled entirely IN Spark
-  (groupBy word -> BIT_OR, map_from_entries, one-row dense array —
-  no driver collect), broadcast it, and prefilter the probe side in the
-  scan stage before the exact join confirms survivors. The bitmap is
-  CONSTANT-sized regardless of data scale; at 100 TB this is Spark's own
-  runtime bloom-filter join reified as an explicit, testable operator. The
-  final result is exact (the confirm join removes false positives), so the
-  oracle is the plain semi-join — the sketch must be invisible in results.
+  side's join keys with a distributed groupBy(word) -> BIT_OR aggregation,
+  collect the CONSTANT-sized bitmap (2048 longs, 16 KB — model, not data;
+  same justification as the k-means centroid collect) and pin it into the
+  probe scan as a LITERAL-array Filter ahead of the exact confirm join. At
+  100 TB this is Spark's own runtime bloom-filter join reified as an
+  explicit, testable operator. The final result is exact (the confirm join
+  removes false positives), so the oracle is the plain semi-join — the
+  sketch must be invisible in results.
 
 Bloom hashing uses xxhash64 (JVM codegen, no cross-engine parity needed —
 the oracle never sees the filter); HLL hashing uses md5 (functions/hashing)
@@ -161,7 +161,16 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
 
-    # Build: explode k positions -> (word, OR of masks) -> one dense array row.
+    # Build: explode k positions -> (word, OR of masks) distributed agg, then
+    # collect the bitmap to the driver. The collect is CONSTANT-sized by
+    # construction — at most BLOOM_WORDS = 2048 longs (16 KB) no matter the
+    # data scale — the same model-not-data justification as the k-means
+    # centroid collect in operators/clustering.assign_cells. It must become
+    # a literal (not a broadcast-joined row): a 1-row crossJoin carrying the
+    # bitmap gives Catalyst a join to reorder, and it happily pushes the
+    # exact confirm semi-join BELOW the bloom test (observed in the AQE
+    # plan), executing the expensive join first and reducing the bloom to
+    # dead code. A literal in a Filter is pinned to the scan stage.
     pos = keys.select(
         F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("pos")
     )
@@ -172,31 +181,25 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
     )
-    bitmap = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
-            lambda i: F.coalesce(F.element_at(F.col("bm"), i), F.lit(0).cast("long")),
-        ).alias("bloom")
-    )
+    dense = [0] * BLOOM_WORDS
+    for r in words:
+        dense[r["word"]] = r["bits"]
+    bloom = F.lit(dense)
 
-    # Probe: bitmap rides a broadcast 1-row crossJoin; the 3 bit tests are a
-    # codegen projection inside the lineitem scan stage — zero shuffle until
-    # only probable matches remain.
+    # Probe: the 3 bit tests are a codegen Filter inside the lineitem scan
+    # stage — zero shuffle, no join the optimizer could move it above.
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    probed = li.crossJoin(F.broadcast(bitmap))
-    for i, p in enumerate(_bloom_positions(F.col("l_orderkey"))):
-        probed = probed.withColumn(f"_p{i}", p)
     cond = F.lit(True)
     for i in range(BLOOM_K):
-        word = F.shiftright(F.col(f"_p{i}"), 6).cast("int")
-        mask = F.expr(f"shiftleft(1L, cast(_p{i} % 64 as int))")
-        cond = cond & (F.element_at(F.col("bloom"), word + 1).bitwiseAND(mask) != 0)
-    survivors = probed.filter(cond).drop("bloom", *[f"_p{i}" for i in range(BLOOM_K)])
+        pos = f"((xxhash64(l_orderkey, {i}) % {BLOOM_BITS} + {BLOOM_BITS}) % {BLOOM_BITS})"
+        word = F.expr(f"cast({pos} div 64 as int)")
+        mask = F.expr(f"shiftleft(1L, cast({pos} % 64 as int))")
+        cond = cond & (F.element_at(bloom, word + 1).bitwiseAND(mask) != 0)
+    survivors = li.filter(cond)
 
     # Exact confirm (removes false positives); AQE picks broadcast/shuffled.
     confirmed = survivors.join(keys, survivors.l_orderkey == keys.o_orderkey, "left_semi")

@@ -93,6 +93,18 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.profiling import PROFILING_QUERIES
+
+        queries.extend(PROFILING_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .operators.pipeline_e2e import PIPELINE_E2E_QUERIES
+
+        queries.extend(PIPELINE_E2E_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .functions.text import TEXT_QUERIES
 
         queries.extend(TEXT_QUERIES)
