@@ -59,27 +59,25 @@ BLOOM_WORDS = BLOOM_BITS // 64  # 2048 longs = 16 KB bitmap
 BLOOM_K = 3  # hash functions
 
 
-def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct customers per order priority: HLL estimate next to exact.
-
-    rho = (trailing zeros of the hash's upper bits) + 1, derived loop-free:
-    lsb = w & -w is an exact power of two, log2 of it is exact in a double.
-    """
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderpriority", md5_long(F.col("o_custkey").cast("string")).alias("h")
-    )
-    w = F.shiftright(F.col("h"), HLL_P)
+def hll_bucket_rho(key: F.Column) -> tuple[F.Column, F.Column]:
+    """(bucket, rho) register update for one key. rho = (trailing zeros of
+    the hash's upper bits) + 1, derived loop-free: lsb = w & -w is an exact
+    power of two, log2 of it is exact in a double."""
+    h = md5_long(key)
+    w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(HLL_SCALE)).otherwise(
         (F.log2(w.bitwiseAND(-w)).cast("int") + F.lit(1)).cast("long")
     )
-    regs = (
-        o.select("o_orderpriority", (F.col("h") % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("o_orderpriority", "bucket")
-        .agg(F.max("rho").alias("mj"))
-    )
+    return (h % HLL_M).alias("bucket"), rho.alias("rho")
+
+
+def finalize_hll(regs: DataFrame, group_col: str) -> DataFrame:
+    """(group, bucket, mj) registers -> per-group estimate columns. Shared
+    by the batch sketch and the streaming register build (the registers ARE
+    the mergeable state; finalization is the same arithmetic either way)."""
     per_group = (
         regs.withColumn("term", F.expr(f"shiftleft(1L, {HLL_SCALE} - cast(mj as int))"))
-        .groupBy("o_orderpriority")
+        .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_used"), F.sum("term").alias("s_used"))
     )
     zeros = F.lit(HLL_M) - F.col("n_used")
@@ -90,24 +88,32 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (est_raw <= 2.5 * HLL_M) & (zeros > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
     ).otherwise(est_raw)
+    return per_group.select(
+        group_col,
+        F.col("n_used").cast("long").alias("n_registers_used"),
+        s_total.cast("long").alias("reg_sum_scaled"),
+        # floor(x * 10^4) on bit-identical doubles is deterministic;
+        # ROUND is not (Spark re-rounds via BigDecimal HALF_UP, DuckDB
+        # rounds the double directly — they disagree on .xxxx5 edges).
+        F.floor(estimate * 10000).cast("long").alias("hll_estimate_x10000"),
+    )
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority: HLL estimate next to exact."""
+    bucket, rho = hll_bucket_rho(F.col("o_custkey").cast("string"))
+    regs = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", bucket, rho)
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
     exact = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(F.count_distinct("o_custkey").cast("long").alias("exact_distinct"))
     )
-    return (
-        per_group.join(exact, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            F.col("n_used").cast("long").alias("n_registers_used"),
-            s_total.cast("long").alias("reg_sum_scaled"),
-            # floor(x * 10^4) on bit-identical doubles is deterministic;
-            # ROUND is not (Spark re-rounds via BigDecimal HALF_UP, DuckDB
-            # rounds the double directly — they disagree on .xxxx5 edges).
-            F.floor(estimate * 10000).cast("long").alias("hll_estimate_x10000"),
-            "exact_distinct",
-        )
-    )
+    return finalize_hll(regs, "o_orderpriority").join(exact, "o_orderpriority")
 
 
 HLL_ORACLE = f"""
@@ -225,7 +231,119 @@ GROUP BY l_returnflag
 """
 
 
+# --- Histogram quantile sketch --------------------------------------------
+HIST_BINS = 256
+QUANTILES = [(500, "p50"), (950, "p95"), (990, "p99")]  # per-mille
+
+
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch per l_returnflag.
+
+    The warehouse-standard percentile sketch: B fixed-width bins over a
+    shared domain; per-group state is an integer count vector that merges
+    by addition (map-side combinable — the whole sketch is ONE groupBy of
+    (group, bin) counts). Quantile estimates interpolate linearly inside
+    the covering bin. All arithmetic is integer cents until one final
+    division, so Spark and DuckDB agree bit-for-bit — a determinism no
+    library t-digest/KLL offers cross-engine.
+
+    The domain [min, max] is measured first (a 2-value scalar aggregate —
+    at 100 TB you would pin the domain from metadata instead; both are one
+    cheap pass)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    mn, mx = li.agg(F.min("cents"), F.max("cents")).first()
+    width = (mx - mn) // HIST_BINS + 1  # ceil-ish: bin of mx stays < HIST_BINS
+    binned = li.select(
+        "l_returnflag",
+        F.floor((F.col("cents") - F.lit(mn)) / F.lit(width)).cast("long").alias("bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "bin").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    wcum = W.partitionBy("l_returnflag").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy("l_returnflag")
+    cum = (
+        hist.withColumn("cumc", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+    )
+    outs = []
+    for pm, name in QUANTILES:
+        # target rank (1-based): ceil(pm/1000 * n) via integer arithmetic
+        target = F.ceil(F.col("n") * pm / 1000).cast("long")
+        hit = cum.filter(F.col("cumc") >= target).withColumn(
+            "rk", F.row_number().over(W.partitionBy("l_returnflag").orderBy("bin"))
+        ).filter(F.col("rk") == 1)
+        est = (
+            F.lit(mn)
+            + F.col("bin") * F.lit(width)
+            + F.floor(
+                (target - (F.col("cumc") - F.col("c"))).cast("double")
+                / F.col("c").cast("double")
+                * F.lit(width)
+            )
+        )
+        outs.append(
+            hit.select(
+                "l_returnflag",
+                F.lit(name).alias("quantile"),
+                F.col("n").cast("long").alias("n_rows"),
+                est.cast("long").alias("est_cents"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _hist_oracle() -> str:
+    # Domain bounds are data-derived constants in the Spark path; the SQL
+    # derives them in a CTE (same values, exact integers).
+    arms = []
+    for pm, name in QUANTILES:
+        arms.append(f"""
+SELECT l_returnflag, '{name}' AS quantile, CAST(n AS BIGINT) AS n_rows,
+       CAST(mn + bin * width
+            + FLOOR(CAST(target - (cumc - c) AS DOUBLE) / CAST(c AS DOUBLE) * width)
+            AS BIGINT) AS est_cents
+FROM (
+  SELECT *, CAST(CEIL(n * {pm} / 1000.0) AS BIGINT) AS target,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, (cumc >= CAST(CEIL(n * {pm} / 1000.0) AS BIGINT)) ORDER BY bin) AS rk
+  FROM cum
+)
+WHERE cumc >= target AND rk = 1""")
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+), dom AS (
+  SELECT MIN(cents) AS mn, ((MAX(cents) - MIN(cents)) // {HIST_BINS} + 1) AS width FROM base
+), hist AS (
+  SELECT l_returnflag, ((cents - mn) // width) AS bin, mn, width, COUNT(*) AS c
+  FROM base, dom GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT *,
+    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+)
+{union}
+"""
+
+
+HIST_QUANTILE_ORACLE = _hist_oracle()
+
+
 SKETCH_QUERIES = [
+    Q(
+        "sketch_histogram_quantiles",
+        sketch_histogram_quantiles,
+        HIST_QUANTILE_ORACLE,
+        "mergeable equi-width histogram quantile sketch (integer-exact)",
+    ),
     Q(
         "sketch_hll_distinct",
         sketch_hll_distinct,

@@ -37,15 +37,32 @@ _EDGE_MOD = 23
 
 
 def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The OR-of-congruences edge rule LOOKS like it needs an n-per-nation
+    # self-join with a post-filter (9M candidate pairs at sf0.1), but each
+    # arm solves for v: 31u + 17v ≡ 0 (mod 23)  ⇔  v ≡ 9u   (17⁻¹ = 19)
+    #                   17u + 31v ≡ 0 (mod 23)  ⇔  v ≡ 18u  (31⁻¹ = 3)
+    # so edge generation is TWO equi-joins on (nation, residue-class) —
+    # intermediate rows = actual matches, not candidates. This is the
+    # residue-bucketing move that turns any modular non-equi predicate into
+    # a hash join; measured 3.6s -> ~2s at sf0.1.
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    a = c.select(F.col("c_custkey").alias("u"), "c_nationkey")
-    b = c.select(F.col("c_custkey").alias("v"), F.col("c_nationkey").alias("nk2"))
-    hit = ((F.col("u") * 31 + F.col("v") * 17) % _EDGE_MOD == 0) | (
-        (F.col("u") * 17 + F.col("v") * 31) % _EDGE_MOD == 0
+    u_side = c.select(
+        F.col("c_custkey").alias("u"),
+        F.col("c_nationkey").alias("nk"),
+        (F.col("c_custkey") * 9 % _EDGE_MOD).alias("res1"),
+        (F.col("c_custkey") * 18 % _EDGE_MOD).alias("res2"),
     )
+    v_side = c.select(
+        F.col("c_custkey").alias("v"),
+        F.col("c_nationkey").alias("nk"),
+        (F.col("c_custkey") % _EDGE_MOD).alias("vres"),
+    )
+    arm1 = u_side.join(v_side, (u_side.nk == v_side.nk) & (u_side.res1 == v_side.vres))
+    arm2 = u_side.join(v_side, (u_side.nk == v_side.nk) & (u_side.res2 == v_side.vres))
     pairs = (
-        a.join(b, (a.c_nationkey == b.nk2) & (a.u != b.v))
-        .filter(hit)
+        arm1.select("u", "v")
+        .union(arm2.select("u", "v"))
+        .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .distinct()
     )

@@ -105,6 +105,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .streaming.hll import STREAM_HLL_QUERIES
+
+        queries.extend(STREAM_HLL_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .functions.text import TEXT_QUERIES
 
         queries.extend(TEXT_QUERIES)

@@ -128,3 +128,34 @@ def test_bloom_prefilter_exactness_and_selectivity(spark):
     # condition contains BLOOM_K element_at probes).
     plan = join_bloom_prefilter(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("element_at") >= BLOOM_K
+
+
+def test_histogram_quantile_within_one_bin(spark):
+    from pyspark.sql import functions as F
+
+    from phabricator_etl_spark.operators.sketches import (
+        HIST_BINS,
+        sketch_histogram_quantiles,
+    )
+    from phabricator_etl_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    mn, mx = li.agg(F.min("cents"), F.max("cents")).first()
+    width = (mx - mn) // HIST_BINS + 1
+    exact = {
+        (r.l_returnflag, q): r[f"q{q}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(cents, {q / 1000})").alias(f"q{q}")
+                for q in (500, 950, 990)
+            ]
+        )
+        .collect()
+        for q in (500, 950, 990)
+    }
+    for r in sketch_histogram_quantiles(spark, SF).collect():
+        q = {"p50": 500, "p95": 950, "p99": 990}[r.quantile]
+        assert abs(r.est_cents - exact[(r.l_returnflag, q)]) <= width + 1, r
