@@ -380,14 +380,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qa = q.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"))
     qb = q.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"))
-    dot = F.aggregate(F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v)
-    return (
-        cand.join(qa, "a")
-        .join(qb, "b")
-        .withColumn("dot_q", dot)
-        .filter(F.col("dot_q") >= COSINE_NEARDUP_X1E8)
-        .select("a", "b", "dot_q")
-    )
+    paired = cand.join(qa, "a").join(qb, "b")
+
+    # Scoring via Arrow + one integer einsum per batch. Catalyst's
+    # zip_with/aggregate HOF evaluates INTERPRETED per element (the same
+    # finding as clustering.assign_cells): measured 3.46s -> 2.47s warm at
+    # sf0.1 for identical output. int64 einsum on quantized values is
+    # exact, so the hash-gated result is unchanged.
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.vstack(pdf["qa"].to_numpy()).astype(np.int64)
+            vb = np.vstack(pdf["qb"].to_numpy()).astype(np.int64)
+            d = np.einsum("ij,ij->i", va, vb)
+            out = pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "dot_q": d})
+            yield out[out["dot_q"] >= COSINE_NEARDUP_X1E8]
+
+    return paired.mapInPandas(_score, "a long, b long, dot_q long")
 
 
 def _cos_band_sql(t: int) -> str:

@@ -229,9 +229,53 @@ ORDER BY c_mktsegment
 """
 
 
+def salted_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join salting: the join-side counterpart of the salted agg.
+
+    The probe side (lineitem) appends a salt derived from a NON-join column
+    (l_linenumber) so a hot join key's rows spread over SALT_BUCKETS
+    reducers; the build side (orders) replicates each row SALT_BUCKETS ways
+    via a literal-range explode. The join key becomes (key, salt) — still an
+    equi-join, but no single reducer owns a hot key. This is what AQE's
+    skewedJoin rewrite does adaptively; expressed manually it also covers
+    engines/paths AQE can't reach (e.g. a stateful streaming join). The
+    oracle is the plain join — salting must be invisible."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_linenumber") % SALT_BUCKETS).cast("int").alias("__salt"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("__salt"),
+    )
+    joined = li.join(
+        o, (li.l_orderkey == o.o_orderkey) & (li.__salt == o.__salt)
+    )
+    return (
+        joined.groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"), F.sum("cents").alias("cents"))
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority, l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SCALE_QUERIES = [
     Q("bucketed_colocated_join", bucketed_colocated_join, BUCKETED_ORACLE, "bucketed join, no Exchange"),
     Q("salted_skew_aggregation", salted_skew_aggregation, SALTED_ORACLE, "two-phase salted agg"),
+    Q("salted_replicated_join", salted_replicated_join, SALTED_JOIN_ORACLE, "replicate-build skew join salting"),
     Q("sorted_file_skipping", sorted_file_skipping, SORTED_SKIP_ORACLE, "sort-clustered parquet row-group pruning"),
     Q("shuffle_hash_hint_join", shuffle_hash_hint_join, SHUFFLE_HASH_ORACLE, "SHUFFLE_HASH strategy hint"),
 ]

@@ -111,6 +111,18 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.cdc import CDC_QUERIES
+
+        queries.extend(CDC_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .streaming.funnel import STREAM_FUNNEL_QUERIES
+
+        queries.extend(STREAM_FUNNEL_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .functions.text import TEXT_QUERIES
 
         queries.extend(TEXT_QUERIES)
