@@ -196,3 +196,67 @@ def test_decontaminate_eval_side_broadcasts(spark, sf_smoke):
 
     plan = _plan(corpus_decontaminate(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_bloom_prefilter_is_scan_stage_filter(spark, sf_smoke):
+    # The bloom bit tests must sit in a Filter BELOW the confirm join (the
+    # point of the operator); a joined bitmap let Catalyst run the confirm
+    # join first (observed), so the plan shape is the regression guard.
+    from phabricator_etl_spark.operators.sketches import join_bloom_prefilter
+
+    plan = _plan(join_bloom_prefilter(spark, sf_smoke))
+    assert "element_at" in plan
+    join_pos = plan.index("LeftSemi")
+    # the Filter carrying the bloom probes appears in the operator list
+    # before (deeper than) the semi join's own subtree start
+    filt_pos = plan.index("element_at")
+    assert filt_pos > join_pos, "bloom filter should be inside the join's left subtree detail"
+    # and no cross join remains anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_shortlist_shuffles_codes_not_vectors(spark, sf_smoke):
+    # The ADC stage must operate on the 4 int codes; the raw embedding
+    # array may appear only in scan/encode stages, never in the window
+    # (shortlist) exchange.
+    from phabricator_etl_spark.operators.quantization import ann_pq_adc
+
+    plan = _plan(ann_pq_adc(spark, sf_smoke))
+    # the rank window over adc scores exists
+    assert "row_number" in plan
+    # exactly ONE MapInPandas node: the encode pass (ADC scoring is pure
+    # codegen element_at lookups, not Python)
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+
+
+def test_e2e_funnel_single_corpus_scan_flags_not_filters(spark, sf_smoke):
+    from phabricator_etl_spark.operators.pipeline_e2e import corpus_e2e_funnel
+
+    plan = _plan(corpus_e2e_funnel(spark, sf_smoke))
+    # eval-shingle probe is a broadcast join, not a shuffled one
+    assert "BroadcastHashJoin" in plan
+    # no Python nodes anywhere in the composed chain
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_funnel_uses_single_user_exchange(spark, sf_smoke):
+    from phabricator_etl_spark.plans.event_analytics import funnel_view_click_purchase
+
+    plan = _plan(funnel_view_click_purchase(spark, sf_smoke))
+    # one hash Exchange on user_id for the three stacked windows + final
+    # single-partition collapse; no join nodes at all
+    assert "Join" not in plan
+    assert plan.count("Window") >= 3
+
+
+def test_triangle_edges_are_equi_joins(spark, sf_smoke):
+    from phabricator_etl_spark.operators.triangles import _canonical_edges
+
+    plan = _plan(_canonical_edges(spark, sf_smoke))
+    # residue-class rewrite: the modular predicate must arrive as an
+    # equi-join (hash or sort-merge), never a nested-loop with filter
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
