@@ -99,6 +99,52 @@ ORDER BY c_mktsegment
 """
 
 
+# WITH RECURSIVE (Spark 4.x): the per-customer order chain (consecutive
+# orders linked by a LAG window) walked recursively from each chain head.
+# depth(order) has a closed form — its position in the chain — and the
+# SAME relation is computed by pointer-jumping in graph_bfs_distance, so
+# one semantics is certified three independent ways: recursive SQL on both
+# engines (this entry, hash-gated), the O(log n) pointer-jump fixpoint,
+# and the analytic oracle. Each iteration is one shuffled equi-join on the
+# frontier (the execution shape Catalyst plans for the UNION ALL loop) and
+# every iteration is a synchronous stage, so recursion DEPTH, not data
+# volume, is the cost driver. The walk is depth-bounded (w.depth < 7, the
+# standard production guard): unbounded, sf0.1 chains recurse ~30 levels
+# and wall-clock quadruples. Unbounded transitive closure belongs to the
+# pointer-jumping operator, which does it in O(log n) rounds instead of
+# O(chain length).
+SQL_RECURSIVE_CHAIN = """
+WITH RECURSIVE
+edges AS (
+  SELECT prev AS src, o_orderkey AS dst
+  FROM (
+    SELECT o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+    FROM orders
+  )
+  WHERE prev IS NOT NULL
+),
+seeds AS (
+  SELECT o_orderkey
+  FROM (
+    SELECT o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+    FROM orders
+  )
+  WHERE prev IS NULL
+),
+walk(o_orderkey, depth) AS (
+  SELECT o_orderkey, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.o_orderkey
+  WHERE w.depth < 7
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(depth AS BIGINT) AS depth
+FROM walk
+"""
+
+
 def _sql_query(text: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -113,4 +159,10 @@ SQL_INTERFACE_QUERIES = [
     Q("sql_in_subquery", _sql_query(SQL_IN_SUBQUERY), SQL_IN_SUBQUERY, "text-SQL IN -> semi-join"),
     Q("sql_cte_window", _sql_query(SQL_CTE_WINDOW), SQL_CTE_WINDOW, "text-SQL CTE + window rank"),
     Q("sql_not_in_anti", _sql_query(SQL_NOT_IN_ANTI), SQL_NOT_IN_ANTI, "text-SQL NOT IN -> anti-join"),
+    Q(
+        "sql_recursive_chain",
+        _sql_query(SQL_RECURSIVE_CHAIN),
+        SQL_RECURSIVE_CHAIN,
+        "WITH RECURSIVE transitive walk, cross-checked vs pointer-jump BFS",
+    ),
 ]
