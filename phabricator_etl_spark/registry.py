@@ -123,6 +123,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.maintenance import MAINTENANCE_QUERIES
+
+        queries.extend(MAINTENANCE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .functions.text import TEXT_QUERIES
 
         queries.extend(TEXT_QUERIES)
