@@ -1,0 +1,38 @@
+"""Three-way certification of the order-chain walk: recursive SQL (Spark),
+pointer-jump BFS, and the analytic closed form must agree."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from phabricator_etl_spark.operators.iterative import graph_bfs_distance
+from phabricator_etl_spark.plans.sql_interface import SQL_RECURSIVE_CHAIN, register_views
+from phabricator_etl_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+DEPTH_BOUND = 7  # mirrors the WHERE w.depth < 7 guard in the SQL
+
+
+def test_recursive_cte_equals_pointer_jump_and_closed_form(spark):
+    register_views(spark, SF)
+    rec = {r.o_orderkey: r.depth for r in spark.sql(SQL_RECURSIVE_CHAIN).collect()}
+
+    bfs = {
+        r.o_orderkey: r.hops_from_first
+        for r in graph_bfs_distance(spark, SF).collect()
+        if r.hops_from_first <= DEPTH_BOUND
+    }
+    assert rec == bfs
+
+    # closed form: position in the per-customer chain
+    o = load_table(spark, SF, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    pos = {
+        r.o_orderkey: r.pos
+        for r in o.select(
+            "o_orderkey", (F.row_number().over(w) - 1).alias("pos")
+        ).collect()
+        if r.pos <= DEPTH_BOUND
+    }
+    assert rec == pos
