@@ -447,8 +447,12 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 TIME_RANGE_ORACLE = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
+       -- FLOOR before CAST: Spark's unix_timestamp truncates sub-second
+       -- parts while a bare CAST(epoch(..)) in DuckDB rounds half-even, so
+       -- RANGE frame edges straddling a second boundary diverge (first
+       -- seen in the sf0.1 strict sweep; sf0.01 has no straddling pair).
        CAST(SUM(CAST(round(value * 100) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
 FROM events
 """

@@ -492,7 +492,11 @@ def fn_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_REGEX_ORACLE = r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        COALESCE(regexp_extract(text, '[a-z]+a[a-z]*'), '') AS first_a_word,
-       array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), ',') AS all_a_words,
+       -- zero-match case: DuckDB regexp_extract_all yields NULL (not []),
+       -- so the joined string must be coalesced to match Spark's ''.
+       -- (Only sf>=0.1 has documents with no 'a'-words — found by the
+       -- sf0.1 strict sweep, invisible at the sf0.01 gate.)
+       COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), ','), '') AS all_a_words,
        CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS n_a_words,
        regexp_replace(text, '[a-z]+a[a-z]*', '_', 'g') AS replaced,
        regexp_matches(text, 'vector') AS mentions_vector
