@@ -496,8 +496,45 @@ FROM s, LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i) t
 """
 
 
+def obs_metrics_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: data-quality counters collected DURING the scan
+    of the main job — no second pass over the table. At 100 TB this is how
+    a load job reports row counts / null rates / guard-rail breaches
+    without doubling its I/O: observe() attaches accumulator-backed metric
+    expressions to the plan; any action materializes them. The emitted
+    result is the metric row itself, oracle-checked against a plain
+    aggregation — proving the inline metrics equal the ground truth."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_high_discount"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
+    )
+    observed.count()  # the "main job"; metrics ride along
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["sum_cents"], row["n_high_discount"], row["n_null_qty"])],
+        "n_rows long, sum_cents long, n_high_discount long, n_null_qty long",
+    )
+
+
+OBS_METRICS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty
+FROM lineitem
+"""
+
+
 EXTENSION_QUERIES = [
     Q("asof_join_events_orders", asof_join_events_orders, ASOF_ORACLE, "as-of join via union trick"),
+    Q("obs_metrics_inline", obs_metrics_inline, OBS_METRICS_ORACLE, "Observation API: scan-time DQ counters"),
     Q("window_lead_lag", window_lead_lag, LEAD_LAG_ORACLE, "lead/lag timeline"),
     Q("window_rolling_frames", window_rolling_frames, ROLLING_ORACLE, "rolling + running frames"),
     Q("agg_rollup", agg_rollup, ROLLUP_ORACLE, "ROLLUP grouping sets"),

@@ -437,6 +437,44 @@ FROM events
 # LSH bucket codes, bitmap indexes). Pure codegen projection.
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# VARIANT (Spark 4): the open-format semi-structured type — parse once at
+# the scan edge, path-extract with variant_get downstream. At 100 TB this
+# replaces repeated from_json re-parses of the same string column (VARIANT
+# parses once into a binary encoding; every later path access is a cheap
+# binary walk, and parquet can store it natively). The DuckDB oracle walks
+# the same paths with its JSON operators — semantically the same battery.
+# --------------------------------------------------------------------------
+
+def fn_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select("event_type", v.alias("v"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum(F.isnull("k").cast("long")).cast("long").alias("n_missing"),
+        )
+    )
+
+
+FN_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
 def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey").cast("long")
@@ -553,6 +591,7 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_map_battery", fn_map_battery, FN_MAP_ORACLE, "MapType algebra battery"),
     Q("fn_try_battery", fn_try_battery, FN_TRY_ORACLE, "ANSI try_* error-safe battery"),
     Q("fn_bitwise_battery", fn_bitwise_battery, FN_BITWISE_ORACLE, "bitwise int64 battery"),
+    Q("fn_variant_battery", fn_variant_battery, FN_VARIANT_ORACLE, "VARIANT parse + path extraction (Spark 4)"),
     Q("fn_regex_battery", fn_regex_battery, FN_REGEX_ORACLE, "RE2-safe regex battery"),
     Q("fn_window_value_family", fn_window_value_family, FN_WINDOW_VALUE_ORACLE, "first/last/nth_value frames"),
 ]
