@@ -161,7 +161,120 @@ FROM counts
 """
 
 
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the most recent
+    PRIOR non-purchase event. One IGNORE NULLS window over the strictly-
+    preceding frame — no self-join, linear at scale (the naive formulation
+    joins events to events on user + time inequality)."""
+    e = _events(spark, sf_dir)
+    sec = F.unix_timestamp("ts")
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(prev)
+    touch_sec = F.last(
+        F.when(F.col("event_type") != "purchase", sec), ignorenulls=True
+    ).over(prev)
+    return (
+        e.withColumn("touch_type", touch_type)
+        .withColumn("secs_since_touch", (sec - touch_sec).cast("long"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "touch_type", "secs_since_touch")
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER prev AS touch_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END
+                        IGNORE NULLS) OVER prev AS secs_since_touch
+  FROM events
+  WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       touch_type, CAST(secs_since_touch AS BIGINT) AS secs_since_touch
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+def cep_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negation pattern: click FOLLOWED BY purchase within 1 hour with
+    NO error in between — the "A then B within T without C" shape MATCH_
+    RECOGNIZE engines sell. Expressed with two IGNORE NULLS last-value
+    windows over the strictly-preceding frame (last click time, last error
+    time): clean iff the click exists, is recent, and the latest error
+    predates it. No self-joins; one user_id Exchange."""
+    e = _events(spark, sf_dir)
+    sec = F.unix_timestamp("ts")
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_click = F.last(F.when(F.col("event_type") == "click", sec), ignorenulls=True).over(prev)
+    t_err = F.last(F.when(F.col("event_type") == "error", sec), ignorenulls=True).over(prev)
+    p = (
+        e.withColumn("t_click", t_click)
+        .withColumn("t_err", t_err)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("converted", F.col("t_click").isNotNull() & ((sec - F.col("t_click")) <= 3600))
+        .withColumn(
+            "clean",
+            F.col("converted") & (F.col("t_err").isNull() | (F.col("t_err") < F.col("t_click"))),
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.col("converted").cast("long")).cast("long").alias("n_converted_1h"),
+        F.sum(F.col("clean").cast("long")).cast("long").alias("n_clean"),
+    )
+
+
+CEP_ORACLE = """
+WITH w AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END
+                    IGNORE NULLS) OVER prev AS t_click,
+         LAST_VALUE(CASE WHEN event_type = 'error' THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END
+                    IGNORE NULLS) OVER prev AS t_err
+  FROM events
+  WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), p AS (
+  SELECT *,
+         (t_click IS NOT NULL AND sec - t_click <= 3600) AS converted,
+         (t_click IS NOT NULL AND sec - t_click <= 3600
+          AND (t_err IS NULL OR t_err < t_click)) AS clean
+  FROM w WHERE event_type = 'purchase'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h,
+       CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM p
+"""
+
+
 EVENT_ANALYTICS_QUERIES = [
+    Q(
+        "attribution_last_touch",
+        attribution_last_touch,
+        ATTRIBUTION_ORACLE,
+        "last-touch purchase attribution via strictly-preceding IGNORE NULLS window",
+    ),
+    Q(
+        "cep_clean_conversion",
+        cep_clean_conversion,
+        CEP_ORACLE,
+        "CEP 'A then B within T without C' negation pattern, window-only",
+    ),
     Q(
         "funnel_view_click_purchase",
         funnel_view_click_purchase,
