@@ -1,0 +1,261 @@
+"""Full-text retrieval operators: BM25 ranking and positional phrase match.
+
+The retrieval side of a training-data platform (reference scope: the corpus
+QUERY operators a user of a 100 TB document store runs daily — "find the
+documents about X", "find exact phrase occurrences"). Spark-first shapes:
+
+- BM25 top-k:      the classic probabilistic ranking function (Robertson &
+                   Spärck Jones / Okapi BM25, public literature) expressed as
+                   two aggregations + one broadcast of the (tiny) query-term
+                   statistics. The corpus-side posting list shuffles once on
+                   term; document lengths ride along as an integer column.
+- phrase match:    positional inverted index — posexplode gives (term, pos);
+                   a phrase of length n becomes an n-way self-equi-join on
+                   (doc_id, pos + offset). Spark executes hash joins keyed on
+                   doc_id+position; no regex scan over the raw text at query
+                   time, which is the point of a positional index at scale.
+
+Zero Python UDFs; every expression is whole-stage-codegen. Both queries are
+fully SQL-expressible, so they carry exact DuckDB oracles.
+
+Scale notes:
+- BM25: df/idf statistics for the query terms are a handful of rows —
+  broadcast. The per-(doc, term) tf aggregation is the only big shuffle and
+  it is keyed on (doc_id, term): uniform, no skew. Final top-k is a single
+  ORDER BY ... LIMIT k — Spark executes TakeOrderedAndProject (per-partition
+  partial top-k, then a k-row driver merge), never a full sort.
+- Phrase match: each join leg filters to ONE term before joining, so the
+  joined relations are posting lists (tiny fraction of the corpus), not the
+  full token stream. At 100 TB this is the difference between scanning
+  everything and touching two posting lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+from .dedup import _spread
+
+_TOKEN_RE = r"\s+"
+
+# Fixed query-term sets: deterministic (no runtime randomness) and present in
+# the synthetic documents vocabulary at every SF.
+BM25_QUERY_TERMS = ["data", "spark", "vector", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+# Bigram of two high-frequency words from the synthetic vocabulary (the
+# generator draws uniformly from a fixed word list, so any common-word pair
+# occurs at every SF).
+PHRASE = ["table", "value"]
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k document ranking for a fixed term-set query.
+
+    score(d) = Σ_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Output is (rank, doc_id, n_terms_matched, score-rounded-to-4): ranking is
+    computed on the full-precision expression identically on both engines;
+    only the displayed score is rounded (cross-engine hash convention, see
+    query.py docstring).
+    """
+    d = _spread(_t(spark, sf_dir, "documents"))
+
+    # (doc_id, term, tf) for query terms only + per-doc length. Filtering to
+    # the query terms BEFORE the groupBy keeps the shuffle at posting-list
+    # size; doc length is a separate cheap aggregate over all tokens.
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = d.count()  # parquet-metadata count; a literal in the plan
+    # df per query term: ≤ len(BM25_QUERY_TERMS) rows — broadcast side.
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.lit(1.0) / _avgdl_col(dl)
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    # Fixed-order float addition: SUM() order differs between engines (not
+    # associative in IEEE double), so instead pivot the ≤4 per-term scores
+    # into columns (each a single row per doc) and add them left-to-right —
+    # bit-identical on both engines.
+    term_cols = [
+        F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s{i}")
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    pivoted = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"), *term_cols
+    )
+    score = F.lit(0.0)
+    for i in range(len(BM25_QUERY_TERMS)):
+        score = score + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    scored = pivoted.select("doc_id", "n_terms_matched", score.alias("score_full"))
+    return (
+        scored.orderBy(F.desc("score_full"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("score_full"), 4).alias("bm25"),
+        )
+    )
+
+
+def _avgdl_col(dl: DataFrame):
+    """Average document length as a broadcast scalar subquery.
+
+    Computed as exact-integer sum/count then divided once — the same single
+    division happens in the oracle, so the double is bit-identical.
+    """
+    row = dl.agg(
+        F.sum("dl").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("c")
+    ).collect()[0]
+    return F.lit(float(row["s"]) / float(row["c"]))
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    pivot_cols = ",\n         ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    fixed_sum = "0.0"
+    for i in range(len(BM25_QUERY_TERMS)):
+        fixed_sum = f"({fixed_sum} + COALESCE(s{i}, 0.0))"
+    return rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl
+), nd AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+), dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), per_term AS (
+  SELECT tf.doc_id, tf.term,
+         LN(1.0 + (nd.n - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / 1.0 / stats.avgdl))
+           AS s
+  FROM tf
+  JOIN dfx USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats CROSS JOIN nd
+), pivoted AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         {pivot_cols}
+  FROM per_term GROUP BY doc_id
+), scored AS (
+  -- fixed-order addition, matching the Spark side exactly (see docstring)
+  SELECT doc_id, n_terms_matched, {fixed_sum} AS score_full FROM pivoted
+)
+SELECT doc_id, n_terms_matched, ROUND(score_full, 4) AS bm25
+FROM scored
+ORDER BY score_full DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase occurrence counting via a positional inverted index.
+
+    posexplode(tokens) -> (doc_id, pos, term); the 2-term phrase is an
+    equi-join of posting('of') with posting('the') on (doc_id, pos+1).
+    Output: per-document occurrence count + first match position, for every
+    document containing the phrase at least once.
+    """
+    d = _spread(_t(spark, sf_dir, "documents"))
+    pos = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col("text"), _TOKEN_RE)).alias("pos", "term"),
+    )
+    first = pos.filter(F.col("term") == PHRASE[0]).select("doc_id", F.col("pos").alias("p0"))
+    second = pos.filter(F.col("term") == PHRASE[1]).select("doc_id", F.col("pos").alias("p1"))
+    hits = first.join(
+        second,
+        (first["doc_id"] == second["doc_id"]) & (second["p1"] == first["p0"] + 1),
+    ).select(first["doc_id"].alias("doc_id"), F.col("p0"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("p0").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _phrase_oracle() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(text, '\s+')) AS term,
+         CAST(generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS BIGINT) - 1 AS pos
+  FROM documents
+), a AS (
+  SELECT doc_id, pos AS p0 FROM tok WHERE term = '{PHRASE[0]}'
+), b AS (
+  SELECT doc_id, pos AS p1 FROM tok WHERE term = '{PHRASE[1]}'
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(a.p0) AS BIGINT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.p1 = a.p0 + 1
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+SEARCH_QUERIES = [
+    Q(
+        "search_bm25_topk",
+        search_bm25_topk,
+        _bm25_oracle(),
+        "Okapi BM25 top-20 ranking for a fixed 4-term query (broadcast term stats)",
+    ),
+    Q(
+        "search_phrase_positions",
+        search_phrase_positions,
+        _phrase_oracle(),
+        "exact-phrase match via positional inverted-index self-join",
+    ),
+]

@@ -198,6 +198,132 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing (the multilingual-corpus mixing
+# rule from the public mC4/XLM-R line of work): sample language l with
+# probability ∝ (n_l)^α, α<1, so high-resource languages are downsampled
+# toward a flatter distribution. Downsample-only formulation: the rarest
+# language keeps rate 1.0 and every other language keeps
+# rate_l = (n_min / n_l)^(1-α).
+#
+# Determinism across engines: α is fixed at 0.5 so the rate is
+# SQRT(n_min / n_l) — division and sqrt are both correctly-rounded IEEE
+# operations (unlike pow/exp/ln, which are implementation-defined in the
+# last ulp), so Spark and DuckDB compute the SAME double bit-for-bit and
+# FLOOR(1e6 * rate) can never straddle an engine boundary. Membership is
+# then the usual content-hash Bernoulli predicate.
+#
+# At 100 TB: the per-language histogram is a few hundred rows — broadcast;
+# the sample predicate is one md5 per row evaluated map-side; no extra
+# shuffle beyond the final per-language report aggregation.
+# --------------------------------------------------------------------------
+
+TEMP_PPM = 1_000_000
+
+
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").cast("long").alias("m")).collect()[0]["m"]
+    rates = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.lit(float(TEMP_PPM))
+            * F.sqrt(F.lit(float(min_n)) / F.col("n_docs").cast("double"))
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    sampled = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(md5_long(F.col("doc_id").cast("string")) % TEMP_PPM < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "rate_ppm",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_TEMPERATURE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), m AS (
+  SELECT CAST(MIN(n_docs) AS DOUBLE) AS min_n FROM counts
+), rates AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR({TEMP_PPM}.0 * SQRT(m.min_n / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_ppm
+  FROM counts CROSS JOIN m
+), sampled AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN rates r USING (lang)
+  WHERE {md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % {TEMP_PPM} < r.rate_ppm
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, r.rate_ppm,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN sampled s USING (lang)
+ORDER BY r.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe holdout split: train/val/test assignment must be made at the
+# GROUP level (here: source domain), never per-document — near-duplicate
+# documents from one domain landing on both sides of the split is how eval
+# contamination happens. Hashing the group key gives a reproducible,
+# coordination-free assignment that any worker can compute map-side.
+# --------------------------------------------------------------------------
+
+
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("source")) % 10
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_groups"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SAMPLE_GROUP_HOLDOUT_ORACLE = f"""
+WITH tagged AS (
+  SELECT CASE
+           WHEN {md5_long_sql("source")} % 10 <= 7 THEN 'train'
+           WHEN {md5_long_sql("source")} % 10 = 8 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         source, n_chars
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""
+
+
 SAMPLING_STATS_QUERIES = [
     Q("sample_hash_bernoulli", sample_hash_bernoulli, SAMPLE_BERNOULLI_ORACLE, "deterministic 10% hash sample"),
     Q("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-stratum hash rates"),
@@ -205,4 +331,16 @@ SAMPLING_STATS_QUERIES = [
     Q("histogram_order_totals", histogram_order_totals, HISTOGRAM_ORACLE, "fixed-width histogram"),
     Q("approx_distinct_sketch", approx_distinct_sketch, None, "HLL distinct (pytest-bounded)"),
     Q("approx_quantiles_price", approx_quantiles_price, None, "quantile sketch (pytest-bounded)"),
+    Q(
+        "sample_temperature_lang",
+        sample_temperature_lang,
+        SAMPLE_TEMPERATURE_ORACLE,
+        "α=0.5 temperature language rebalancing (downsample-only, hash Bernoulli)",
+    ),
+    Q(
+        "sample_group_holdout",
+        sample_group_holdout,
+        SAMPLE_GROUP_HOLDOUT_ORACLE,
+        "leakage-safe train/val/test split hashed at the source-domain level",
+    ),
 ]

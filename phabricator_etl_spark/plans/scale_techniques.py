@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query import Q
@@ -197,6 +197,86 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
 """
 
 
+ZORDER_BITS = 16  # per-dimension bits; 2^16 covers part/supp keys at any test SF
+
+
+def _morton(px: Column, sx: Column) -> Column:
+    """Z-order (Morton) interleave of two non-negative int columns.
+
+    Pure codegen bit arithmetic — ((p >> i) & 1) placed at bit 2i+1 and
+    ((s >> i) & 1) at bit 2i — no UDF, evaluated map-side during the one-time
+    staging write.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(px, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping via Z-order clustering (the public
+    Delta/Iceberg OPTIMIZE ZORDER technique, expressed with plain Spark).
+
+    A single-column sort (sorted_file_skipping) only skips on that column; a
+    rectangle predicate over TWO columns needs the layout to localize both.
+    Staging lineitem range-partitioned + sorted by the Morton interleave of
+    (l_partkey, l_suppkey) makes every small row group cover a compact 2-D
+    tile, so min/max stats on BOTH columns are narrow and a rectangle query
+    prunes row groups on either predicate. The oracle runs the same filter
+    over the unsorted original — layout can never change results.
+
+    At 100 TB: the stage write is one shuffle (repartitionByRange on the
+    z-value); every later rectangle query reads only the tiles it overlaps.
+    """
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"zorder_li_{tag}")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    marker = os.path.join(stage, f"_STAGED_v1_{int(st.st_mtime)}_{st.st_size}")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+            .withColumn("z", _morton(F.col("l_partkey"), F.col("l_suppkey")))
+            .repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 1 << 20)  # fine-grained stats tiles
+            .parquet(stage)
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    back = spark.read.parquet(stage).filter(
+        (F.col("l_partkey") >= 100)
+        & (F.col("l_partkey") < 200)
+        & (F.col("l_suppkey") >= 10)
+        & (F.col("l_suppkey") < 40)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+
+
+ZORDER_SKIP_ORACLE = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem
+WHERE l_partkey >= 100 AND l_partkey < 200
+  AND l_suppkey >= 10 AND l_suppkey < 40
+"""
+
+
 def shuffle_hash_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit join-strategy control: the SHUFFLE_HASH hint forces a
     shuffled hash join for the mid-size dimension case — too big to
@@ -277,5 +357,6 @@ SCALE_QUERIES = [
     Q("salted_skew_aggregation", salted_skew_aggregation, SALTED_ORACLE, "two-phase salted agg"),
     Q("salted_replicated_join", salted_replicated_join, SALTED_JOIN_ORACLE, "replicate-build skew join salting"),
     Q("sorted_file_skipping", sorted_file_skipping, SORTED_SKIP_ORACLE, "sort-clustered parquet row-group pruning"),
+    Q("zorder_file_skipping", zorder_file_skipping, ZORDER_SKIP_ORACLE, "Z-order (Morton) 2-D clustering for rectangle-predicate skipping"),
     Q("shuffle_hash_hint_join", shuffle_hash_hint_join, SHUFFLE_HASH_ORACLE, "SHUFFLE_HASH strategy hint"),
 ]

@@ -63,6 +63,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .operators.search import SEARCH_QUERIES
+
+        queries.extend(SEARCH_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .operators.sketches import SKETCH_QUERIES
 
         queries.extend(SKETCH_QUERIES)
