@@ -280,10 +280,66 @@ FROM stats s LEFT JOIN top USING (doc_id)
 """
 
 
+def text_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: decile-bucket the corpus by the integer quality
+    score (easy→hard ordering for curriculum-style training schedules).
+
+    ntile over a TOTAL order — (quality_score, doc_id) — so bucket boundaries
+    are deterministic across engines even where scores tie. One global sort
+    is acceptable for a decile assignment; at 100 TB swap the window for
+    approx-percentile cutpoints broadcast as a CASE (noted so the operator's
+    scale path is explicit), which drops the sort entirely.
+    """
+    from pyspark.sql import Window
+
+    scored = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.orderBy(F.asc("quality_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("bin", F.ntile(10).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("quality_score").cast("long").alias("min_score"),
+            F.max("quality_score").cast("long").alias("max_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+CURRICULUM_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(floor(least(n_chars, 500) / 5)
+              + round(100.0 * n_distinct / n_tokens)
+              - least(n_punct * 5, 50) AS BIGINT) AS quality_score
+  FROM t
+), binned AS (
+  SELECT quality_score,
+         NTILE(10) OVER (ORDER BY quality_score, doc_id) AS bin
+  FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(quality_score) AS BIGINT) AS min_score,
+       CAST(MAX(quality_score) AS BIGINT) AS max_score
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 TEXT_QUERIES = [
     Q("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE, "token/char/punct counting"),
     Q("text_lang_id", text_lang_id, LANG_ID_ORACLE, "marker-token language ID"),
     Q("text_quality_score", text_quality_score, QUALITY_ORACLE, "integer quality scoring"),
     Q("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE, "rolling-hash fingerprint"),
     Q("text_repetition_stats", text_repetition_stats, REPETITION_ORACLE, "Gopher-style intra-doc repetition signals"),
+    Q("text_curriculum_bins", text_curriculum_bins, CURRICULUM_ORACLE, "deterministic quality-decile curriculum binning"),
 ]

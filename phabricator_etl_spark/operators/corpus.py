@@ -208,6 +208,94 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information over adjacent word pairs —
+# the classic collocation detector (Church & Hanks), and the statistic
+# tokenizer-training pipelines use to find multi-word units worth merging.
+# PMI = ln(N * c_xy / (c_x * c_y)). Determinism: the RANKING key is the exact
+# rational N*c_xy/(c_x*c_y) computed as one division of exact int64 products
+# (correctly rounded -> bit-identical across engines); ln() — which is
+# implementation-defined in the last ulp — only ever feeds the ROUND(…,4)
+# display column. Three aggregations (unigram, bigram, total), all keyed on
+# uniformly-distributed words: linear at 100 TB.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), _TOKEN_RE)
+    tok = d.select(F.explode(toks).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    n_tokens = uni.agg(F.sum("c").cast("long")).collect()[0][0]
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("x"), F.element_at(toks, i + 1).alias("y")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    big = (
+        d.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= PMI_MIN_COUNT)
+    )
+    # vocabulary is tiny relative to the corpus -> broadcast both unigram legs
+    cx = F.broadcast(uni.select(F.col("w").alias("x"), F.col("c").alias("cx")))
+    cy = F.broadcast(uni.select(F.col("w").alias("y"), F.col("c").alias("cy")))
+    ratio = (F.lit(float(n_tokens)) * F.col("cxy")) / (F.col("cx") * F.col("cy")).cast(
+        "double"
+    )
+    return (
+        big.join(cx, "x")
+        .join(cy, "y")
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("long").alias("cxy"),
+            F.round(F.log(ratio), 4).alias("pmi"),
+            ratio.alias("_r"),
+        )
+        .orderBy(F.desc("_r"), F.asc("x"), F.asc("y"))
+        .limit(PMI_TOP_K)
+        .drop("_r")
+    )
+
+
+PMI_ORACLE = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+), n AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_tokens FROM uni
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> struct_pack(x := t[i], y := t[i + 1]))) AS p
+  FROM (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents)
+), big AS (
+  SELECT p.x AS x, p.y AS y, COUNT(*) AS cxy FROM grams GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+), scored AS (
+  SELECT big.x, big.y, big.cxy,
+         (n.n_tokens * big.cxy) / CAST(ux.c * uy.c AS DOUBLE) AS r
+  FROM big
+  JOIN uni ux ON ux.w = big.x
+  JOIN uni uy ON uy.w = big.y
+  CROSS JOIN n
+)
+SELECT x, y, CAST(cxy AS BIGINT) AS cxy, ROUND(LN(r), 4) AS pmi
+FROM scored
+ORDER BY r DESC, x, y
+LIMIT {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document: term-frequency agg, document-frequency agg,
 # then a per-doc window keeps the 3 highest-scoring terms. Two shuffles
 # (doc+term, then term) + one window partitioned by doc — each keyed on a
@@ -692,6 +780,12 @@ CORPUS_QUERIES = [
         corpus_ngram_topk,
         NGRAM_TOPK_ORACLE,
         "global bigram top-k (map-side combine)",
+    ),
+    Q(
+        "corpus_pmi_collocations",
+        corpus_pmi_collocations,
+        PMI_ORACLE,
+        "PMI collocation top-k (exact-rational ranking, broadcast unigrams)",
     ),
     Q(
         "corpus_tfidf_top_terms",

@@ -432,10 +432,77 @@ WHERE list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) >= {CO
 """
 
 
+# ---------------------------------------------------------------------------
+# Asymmetric containment: |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+# "is A quoted inside B" measure (Broder's containment, the public resemblance
+# /containment pair). Jaccard misses a short doc embedded in a long one (the
+# union term swamps it); containment is the right detector for boilerplate
+# inclusion and quote-expansion dedup. Same inverted-index + posting-cap plan
+# as dedup_ngram_jaccard — ORDERED pairs instead of unordered, denominator is
+# the contained side only.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD_X1000 = 600
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    sh = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(_shingles()).alias("shingle"),
+        )
+        .select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
+    sh_kept = sh.join(df_cap.select("sh"), "sh")
+    a = sh_kept.select(F.col("doc_id").alias("a"), "sh")
+    b = sh_kept.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") != F.col("b"))  # ordered pairs: containment is directed
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .withColumn(
+            "containment_x1000",
+            F.round(F.lit(1000.0) * F.col("inter") / F.col("sza")).cast("long"),
+        )
+        .filter(F.col("containment_x1000") >= CONTAINMENT_THRESHOLD_X1000)
+        .select("a", "b", "containment_x1000")
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH sh0 AS (
+  SELECT doc_id, {md5_long_sql('shingle')} AS sh
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_shingles_sql()}) AS shingle FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id
+), df_cap AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), kept AS (
+  SELECT sh0.* FROM sh0 JOIN df_cap USING (sh)
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(round(1000.0 * inter / sa.sz) AS BIGINT) AS containment_x1000
+FROM inter JOIN sizes sa ON sa.doc_id = a
+WHERE round(1000.0 * inter / sa.sz) >= {CONTAINMENT_THRESHOLD_X1000}
+"""
+
+
 DEDUP_QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
     Q("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "inverted-index n-gram Jaccard"),
     Q("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash + LSH banding"),
     Q("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "16-bit SimHash signatures"),
     Q("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_COSINE_ORACLE, "quantized cosine near-dup"),
+    Q("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "directed shingle containment (quote/boilerplate inclusion)"),
 ]

@@ -1,0 +1,105 @@
+"""Market-basket association mining: frequent item pairs with support/lift.
+
+The distributed-frequent-itemset shape (public A-priori / FP-growth line of
+work, pairwise level): baskets = distinct (order, part); the candidate space
+is pruned A-priori-style — an item must itself clear the support threshold
+before any pair containing it is generated — so the self-join runs over
+frequent-item posting lists, not the raw basket stream. The same
+per-basket self-join + min-support pattern is how co-occurrence statistics
+(word co-occurrence, product affinity, co-citation) are mined at 100 TB.
+
+Scale notes: the pair join is keyed on the basket id (uniform, bounded
+basket size ⇒ bounded per-key fan-out, the same guarantee the triangle
+counter engineers for); frequent-item pruning bounds the explode; lift's
+denominator counts are broadcast back from the (tiny) frequent-item table.
+Determinism: support/counts are exact ints; lift = N·c_ab/(c_a·c_b) is one
+division of exact int64 products (bit-identical across engines), rounded
+only for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query import Q
+from ..sources.catalog import load_table as _t
+
+MIN_SUPPORT = 3  # pair must co-occur in >= this many baskets
+
+
+def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").cast("long").alias("basket"),
+        F.col("l_partkey").cast("long").alias("item"),
+    ).distinct()
+    n_baskets = baskets.select("basket").distinct().count()
+    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    # A-priori prune: any pair with support >= s has both items with
+    # support >= s — drop infrequent items BEFORE the pair join
+    frequent = item_counts.filter(F.col("c") >= MIN_SUPPORT)
+    fb = baskets.join(F.broadcast(frequent.select("item")), "item").select("basket", "item")
+    x = fb.select("basket", F.col("item").alias("a"))
+    y = fb.select("basket", F.col("item").alias("b"))
+    pairs = (
+        x.join(y, "basket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    ca = F.broadcast(frequent.select(F.col("item").alias("a"), F.col("c").alias("ca")))
+    cb = F.broadcast(frequent.select(F.col("item").alias("b"), F.col("c").alias("cb")))
+    lift = (F.lit(float(n_baskets)) * F.col("support")) / (F.col("ca") * F.col("cb")).cast(
+        "double"
+    )
+    return (
+        pairs.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("support").cast("long").alias("support"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+BASKET_PAIRS_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket, CAST(l_partkey AS BIGINT) AS item
+  FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS nb FROM baskets
+), ic AS (
+  SELECT item, COUNT(*) AS c FROM baskets GROUP BY item
+), freq AS (
+  SELECT item, c FROM ic WHERE c >= {MIN_SUPPORT}
+), fb AS (
+  SELECT b.basket, b.item FROM baskets b JOIN freq USING (item)
+), pairs AS (
+  SELECT x.item AS a, y.item AS b, COUNT(*) AS support
+  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+)
+SELECT a, b, CAST(support AS BIGINT) AS support,
+       ROUND((n.nb * support) / CAST(fa.c * fb2.c AS DOUBLE), 4) AS lift
+FROM pairs
+JOIN freq fa ON fa.item = a
+JOIN freq fb2 ON fb2.item = b
+CROSS JOIN n
+ORDER BY a, b
+"""
+
+
+ASSOCIATION_QUERIES = [
+    Q(
+        "basket_frequent_pairs",
+        basket_frequent_pairs,
+        BASKET_PAIRS_ORACLE,
+        "A-priori-pruned frequent item pairs with exact-rational lift",
+    ),
+]

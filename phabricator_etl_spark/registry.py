@@ -69,6 +69,24 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .operators.features import FEATURE_QUERIES
+
+        queries.extend(FEATURE_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .sources.pydatasource import PYDATASOURCE_QUERIES
+
+        queries.extend(PYDATASOURCE_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from .plans.association import ASSOCIATION_QUERIES
+
+        queries.extend(ASSOCIATION_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .operators.sketches import SKETCH_QUERIES
 
         queries.extend(SKETCH_QUERIES)
