@@ -23,7 +23,7 @@ LLM-scale pipeline staples beyond the reference surface:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..query import Q
@@ -324,6 +324,61 @@ ORDER BY split
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted reservoir sampling per group (Efraimidis-Spirakis A-Res, public
+# algorithm): each row draws u ~ U(0,1] deterministically from its content
+# hash and gets key = -ln(u)/w; the k smallest keys per group are a weighted
+# sample without replacement. One window over the group key — no reservoir
+# state, no driver loop; at 100 TB this is how "pick 1k representative docs
+# per domain, weighted by quality" runs. ln() is implementation-defined in
+# the last ulp, but distinct rows' keys differ by many orders of magnitude
+# more than an ulp, so the cross-engine rank is stable (same argument as the
+# TF-IDF ranking, green since round 1).
+# --------------------------------------------------------------------------
+
+RESERVOIR_K = 5
+_U_MOD = 1 << 30
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # u in (0, 1]: (h mod M + 1) / M — never 0, so ln(u) is finite
+    u = (md5_long(F.col("o_orderkey").cast("string")) % _U_MOD + 1) / F.lit(float(_U_MOD))
+    w = F.round(F.col("o_totalprice") * 100).cast("long")  # weight: exact cents
+    key = -F.log(u) / w
+    win = Window.partitionBy("o_orderpriority").orderBy(F.asc(key), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select(
+            "o_orderpriority",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            w.alias("weight_cents"),
+        )
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+SAMPLE_RESERVOIR_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS weight_cents,
+         -LN(({md5_long_sql("CAST(o_orderkey AS VARCHAR)")} % {_U_MOD} + 1) / {float(_U_MOD)})
+           / CAST(ROUND(o_totalprice * 100) AS BIGINT) AS k
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, o_orderkey, weight_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY k, o_orderkey) AS rk
+  FROM keyed
+)
+SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, weight_cents
+FROM ranked WHERE rk <= {RESERVOIR_K}
+ORDER BY o_orderpriority, rk
+"""
+
+
 SAMPLING_STATS_QUERIES = [
     Q("sample_hash_bernoulli", sample_hash_bernoulli, SAMPLE_BERNOULLI_ORACLE, "deterministic 10% hash sample"),
     Q("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-stratum hash rates"),
@@ -342,5 +397,11 @@ SAMPLING_STATS_QUERIES = [
         sample_group_holdout,
         SAMPLE_GROUP_HOLDOUT_ORACLE,
         "leakage-safe train/val/test split hashed at the source-domain level",
+    ),
+    Q(
+        "sample_weighted_reservoir",
+        sample_weighted_reservoir,
+        SAMPLE_RESERVOIR_ORACLE,
+        "Efraimidis-Spirakis weighted reservoir top-k per group (stateless window form)",
     ),
 ]

@@ -153,6 +153,76 @@ def _sql_query(text: str):
     return run
 
 
+# ---------------------------------------------------------------------------
+# SQL-defined scalar function (Spark 4 `CREATE TEMPORARY FUNCTION ... RETURN
+# <expr>`): the declarative UDF. Unlike a Python UDF, the body is a Catalyst
+# expression — inlined into the caller's plan, fully codegen'd, pushdown-
+# transparent — so "user-defined" costs nothing at 100 TB. The oracle is the
+# same query with the body inlined by hand (DuckDB macros are the analogous
+# feature but the driver's oracle channel is single-statement SQL).
+# ---------------------------------------------------------------------------
+
+SQL_UDF_DDL = """
+CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE)
+RETURNS BIGINT
+RETURN CAST(ROUND(p * (1.0 - d) * 100) AS BIGINT)
+"""
+
+SQL_UDF_BODY = """
+SELECT l_returnflag,
+       CAST(SUM(disc_cents(l_extendedprice, l_discount)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(SQL_UDF_DDL)
+    return spark.sql(SQL_UDF_BODY)
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (spark.sql(..., args=...)): named-marker binding — the
+# injection-safe programmatic query path (parameters are bound as literals by
+# the parser, they never string-concatenate). Oracle is the same query with
+# the parameters inlined.
+# ---------------------------------------------------------------------------
+
+SQL_PARAM_TEXT = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_totalprice > :min_price AND o_orderstatus = :status
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+SQL_PARAM_ARGS = {"min_price": 150_000.0, "status": "O"}
+
+SQL_PARAM_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PARAM_TEXT, args=SQL_PARAM_ARGS)
+
+
 SQL_INTERFACE_QUERIES = [
     Q("sql_exists_decorrelated", _sql_query(SQL_EXISTS), SQL_EXISTS, "text-SQL EXISTS -> semi-join"),
     Q("sql_scalar_subquery", _sql_query(SQL_SCALAR_SUBQUERY), SQL_SCALAR_SUBQUERY, "text-SQL scalar subquery"),
@@ -165,4 +235,6 @@ SQL_INTERFACE_QUERIES = [
         SQL_RECURSIVE_CHAIN,
         "WITH RECURSIVE transitive walk, cross-checked vs pointer-jump BFS",
     ),
+    Q("sql_udf_scalar", sql_udf_scalar, SQL_UDF_ORACLE, "SQL-defined scalar function (declarative UDF, fully codegen)"),
+    Q("sql_parameterized", sql_parameterized, SQL_PARAM_ORACLE, "named-parameter SQL binding (injection-safe literals)"),
 ]

@@ -104,6 +104,26 @@ def test_temperature_rates_flatten_distribution(spark):
         assert r["n_sampled"] <= r["n_docs"]
 
 
+def test_weighted_reservoir_invariants(spark):
+    from phabricator_etl_spark.plans.sampling_stats import (
+        RESERVOIR_K,
+        sample_weighted_reservoir,
+    )
+
+    rows = sample_weighted_reservoir(spark, SF).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["o_orderpriority"], []).append(r)
+    for grp, members in by_grp.items():
+        assert [m["rk"] for m in sorted(members, key=lambda m: m["rk"])] == list(
+            range(1, RESERVOIR_K + 1)
+        ), grp
+        assert all(m["weight_cents"] > 0 for m in members)
+    # deterministic: a second build returns the identical sample
+    again = sample_weighted_reservoir(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_group_holdout_splits_are_disjoint(spark):
     rows = sample_group_holdout(spark, SF).collect()
     total_groups = sum(r["n_groups"] for r in rows)
