@@ -324,7 +324,54 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("id").cast("long").alias("c_custkey"), F.round("rank", 6).alias("rank"))
 
 
+KCORE_K = 2  # non-empty at every test SF (the residue graph only grows a 3-core at sf>=0.01)
+_KCORE_MAX_ROUNDS = 64
+
+
+def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
+    """Iterative k-core peeling over canonical (a < b) undirected edges.
+
+    Each round drops every vertex whose CURRENT degree is < k, then removes
+    its edges; the fixpoint is the k-core. Monotone shrinkage ⇒ #rounds ≤
+    peeling depth (tiny for real degree distributions); each round is one
+    degree aggregation + one semi-join-shaped filter, both keyed on vertex
+    id. The per-round collect() is a single scalar (the standard convergence
+    probe, same as CC/PageRank here). Returns (node, core_degree) for the
+    surviving vertices.
+    """
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    for _ in range(_KCORE_MAX_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < k).select("node").localCheckpoint(eager=True)
+        if bad.count() == 0:
+            return deg.select(F.col("node").cast("long"), F.col("deg").cast("long").alias("core_degree"))
+        e = (
+            e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError("k-core peeling did not converge")  # pragma: no cover
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the residue-rule customer graph (same edge set as
+    graph_triangle_count). Rows-only gate: the peel is an iterative fixpoint
+    (not SQL-expressible); exactness is pytest-pinned against a Python
+    peeling oracle on the same edges (tests/test_graph_paths.py)."""
+    from .triangles import _canonical_edges
+
+    core = kcore_subgraph(_canonical_edges(spark, sf_dir), KCORE_K)
+    return core.orderBy("node")
+
+
 ITERATIVE_QUERIES = [
     Q("graph_bfs_distance", graph_bfs_distance, BFS_ORACLE, "frontier BFS vs closed-form oracle"),
     Q("graph_pagerank", graph_pagerank, None, "power-iteration PageRank (invariants in pytest)"),
+    Q("graph_kcore", graph_kcore, None, "iterative k-core peeling to fixpoint (Python-oracle pytest)"),
 ]

@@ -86,3 +86,44 @@ def test_pointer_jump_paths_agree(spark):
     dist = dists(pointer_jump_distances(sdf, edf, local_threshold=-1))
     assert local == dist
     assert all(v < 10_000 for v in local)  # orphan chain excluded
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling: repeatedly drop nodes with degree < k."""
+    from collections import defaultdict
+
+    es = set(edges)
+    while True:
+        deg = defaultdict(int)
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return dict(deg)
+        es = {(a, b) for a, b in es if a not in bad and b not in bad}
+
+
+def test_kcore_matches_python_oracle_on_fixture_graph(spark):
+    from phabricator_etl_spark.operators.iterative import KCORE_K, graph_kcore
+    from phabricator_etl_spark.operators.triangles import _canonical_edges
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r["a"], r["b"]) for r in _canonical_edges(spark, sf).collect()]
+    expect = _py_kcore(edges, KCORE_K)
+    got = {r["node"]: r["core_degree"] for r in graph_kcore(spark, sf).collect()}
+    assert got == expect
+    assert got, "2-core should be non-empty on the residue graph"
+
+
+def test_kcore_adversarial_shapes(spark):
+    from phabricator_etl_spark.operators.iterative import kcore_subgraph
+
+    # K4 (a 3-core) + a pendant chain hanging off it + a disjoint triangle
+    # (2-core only): the 3-core must be exactly the K4.
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 10), (10, 11)]
+    tri = [(20, 21), (20, 22), (21, 22)]
+    edf = spark.createDataFrame(k4 + chain + tri, "a long, b long")
+    got = {r["node"]: r["core_degree"] for r in kcore_subgraph(edf, 3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -61,6 +61,56 @@ def test_copy_of_inflight_slice_restarts_at_position():
     ]
 
 
+def test_stream_restart_from_checkpoint_is_exactly_once(spark):
+    """Kill the ticks stream mid-feed, restart on the SAME checkpoint and
+    sink, and the final totals must equal one clean pass — offsets committed
+    to the checkpoint must not be re-read (no dupes) and uncommitted ones
+    must be replayed (no loss). This is the recovery contract
+    readBetweenOffsets exists for."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register_ticks(spark)
+    with tempfile.TemporaryDirectory(prefix="ckpt_restart_") as ckpt, tempfile.TemporaryDirectory(
+        prefix="sink_restart_"
+    ) as sink:
+        src = spark.readStream.format("ticks").load()
+
+        def start():
+            return (
+                src.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+
+        q = start()
+        # wait for at least one committed micro-batch, then kill mid-feed
+        import time
+
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+
+        got = spark.read.parquet(sink).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("tick_id").alias("n_distinct"),
+            F.sum("size").alias("vol"),
+        ).collect()[0]
+        assert got["n"] == TICKS_ROWS  # no duplicates
+        assert got["n_distinct"] == TICKS_ROWS  # no loss
+        assert got["vol"] == sum(tick_row(i)[3] for i in range(TICKS_ROWS))
+
+
 def test_batch_and_stream_faces_agree(spark):
     register_ticks(spark)
     batch = {r["symbol"]: tuple(r) for r in src_python_datasource(spark, SF).collect()}
