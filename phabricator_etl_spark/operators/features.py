@@ -153,6 +153,69 @@ FROM proj GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def embed_group_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding pooling: elementwise SUM of quantized vectors per
+    label, plus the member count (mean pooling = sum/n, kept as exact
+    integers so the gate hash never sees a float division).
+
+    The "centroid of my cluster / embedding of my document from its chunks"
+    aggregation every retrieval pipeline runs. Shape: posexplode to
+    (label, dim, q) — 64 rows per vector — one (label, dim) aggregation,
+    then reassembly into an ordered '|'-joined vector string. One shuffle,
+    keyed on (label, dim): uniform, scales linearly. (An Arrow mapInPandas
+    per-partition partial-sum would cut the explode 64× at real widths; the
+    explode form is kept here because it is the pure-Catalyst baseline the
+    vectorized form must match — same pairing as ann_topk_bruteforce /
+    ann_topk_vectorized.)
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * JL_SCALE).cast("long")
+        ).alias("qe"),
+    )
+    long = e.select("label", F.posexplode(F.col("qe")).alias("dim", "q"))
+    sums = long.groupBy("label", "dim").agg(F.sum("q").alias("s"))
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    pooled = (
+        sums.groupBy("label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda x: x["s"].cast("string"),
+                ),
+                "|",
+            ).alias("sum_vec")
+        )
+        .join(n, "label")
+        .select("label", "n_vecs", "sum_vec")
+        .orderBy("label")
+    )
+    return pooled
+
+
+EMBED_POOL_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {JL_SCALE}) AS BIGINT)) AS qe
+  FROM embeddings
+), long AS (
+  SELECT label, CAST(generate_subscripts(qe, 1) AS BIGINT) - 1 AS dim, unnest(qe) AS v
+  FROM q
+), sums AS (
+  SELECT label, dim, SUM(v) AS s FROM long GROUP BY 1, 2
+), n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM q GROUP BY label
+)
+SELECT s.label, n.n_vecs,
+       string_agg(CAST(s.s AS VARCHAR), '|' ORDER BY s.dim) AS sum_vec
+FROM sums s JOIN n USING (label)
+GROUP BY s.label, n.n_vecs
+ORDER BY s.label
+"""
+
+
 FEATURE_QUERIES = [
     Q(
         "feature_hashing_trick",
@@ -165,5 +228,11 @@ FEATURE_QUERIES = [
         embed_random_projection,
         _jl_oracle(),
         "Johnson-Lindenstrauss ±1 projection 64→16 (exact int64, Arrow matmul)",
+    ),
+    Q(
+        "embed_group_pool",
+        embed_group_pool,
+        EMBED_POOL_ORACLE,
+        "per-group embedding sum-pooling (exact int64 elementwise aggregation)",
     ),
 ]

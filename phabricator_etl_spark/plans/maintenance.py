@@ -144,6 +144,137 @@ SELECT
 """
 
 
+# ---------------------------------------------------------------------------
+# dq_mad_outliers: robust per-group outlier flagging — median/MAD instead of
+# mean/stddev (one fat-finger order doesn't move the fence). Exactness:
+# "median" is the LOWER median (the floor((n+1)/2)-th smallest under a total
+# (value, key) order) so it is an actual data value, integer, and identical
+# across engines — no interpolation semantics to disagree on. Two window
+# passes + one broadcast-size join per group; everything int64.
+# ---------------------------------------------------------------------------
+
+MAD_FENCE = 3  # |x - med| > MAD_FENCE * mad ⇒ outlier
+
+
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "k")
+    n = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "k",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("cnt"),
+    )
+    med = ranked.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2)).select(
+        "o_orderpriority", F.col("cents").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", "k", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("ad")
+    )
+    wd = Window.partitionBy("o_orderpriority").orderBy("ad", "k")
+    mad = (
+        dev.select(
+            "o_orderpriority",
+            "ad",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(n).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("o_orderpriority", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("med").cast("long").alias("median_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.sum(
+                (F.col("ad") > F.lit(MAD_FENCE) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DQ_MAD_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents, k) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM o
+), med AS (
+  SELECT o_orderpriority, cents AS med FROM ranked WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT o.o_orderpriority, o.k, o.cents, med.med, ABS(o.cents - med.med) AS ad
+  FROM o JOIN med USING (o_orderpriority)
+), dranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY ad, k) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM dev
+), mad AS (
+  SELECT o_orderpriority, ad AS mad FROM dranked WHERE rn = (cnt + 1) // 2
+)
+SELECT d.o_orderpriority,
+       CAST(MAX(d.med) AS BIGINT) AS median_cents,
+       CAST(MAX(m.mad) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN d.ad > {MAD_FENCE} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+ORDER BY d.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_profile: leading-digit distribution vs Benford's law — the
+# classic fabricated-data / unit-mixup smell test for financial columns.
+# The first significant digit comes from the DECIMAL STRING of the exact
+# cents value (log10-free: floor(log10(x)) misrounds at exact powers of 10,
+# and engines could disagree; substr of an integer's digits cannot).
+# ---------------------------------------------------------------------------
+
+
+def dq_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    total = o.count()
+    return (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .withColumn("share_pct", F.round(F.lit(100.0) * F.col("n_orders") / F.lit(float(total)), 4))
+        .orderBy("digit")
+    )
+
+
+DQ_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders
+)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(100.0 * COUNT(*) / n.total, 4) AS share_pct
+FROM d CROSS JOIN n
+GROUP BY digit, n.total
+ORDER BY digit
+"""
+
+
 MAINTENANCE_QUERIES = [
     Q(
         "maint_compact_small_files",
@@ -162,5 +293,17 @@ MAINTENANCE_QUERIES = [
         dq_referential_audit,
         DQ_AUDIT_ORACLE,
         "FK-chain orphan audit via left-anti joins",
+    ),
+    Q(
+        "dq_mad_outliers",
+        dq_mad_outliers,
+        DQ_MAD_ORACLE,
+        "median/MAD robust outlier fence per group (exact lower-median, all int64)",
+    ),
+    Q(
+        "dq_benford_profile",
+        dq_benford_profile,
+        DQ_BENFORD_ORACLE,
+        "Benford leading-digit profile (digit from decimal string, log10-free)",
     ),
 ]

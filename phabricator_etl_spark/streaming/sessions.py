@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
 
 from ..query import Q
 from .events import _events_stream, _run_stream_to_table
@@ -122,8 +123,123 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(spark, counted, "update")
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's arbitrary-state API, successor to
+# applyInPandasWithState): typed per-key state cells (ValueState here; List/
+# MapState and timers available), explicit processor lifecycle. The processor
+# keeps a running (count, max) per user and emits the updated totals each
+# micro-batch; both are MONOTONE, so max-over-emissions == final state no
+# matter how the input was micro-batched — which is what makes a full
+# value-hash oracle possible for an update-mode stateful stream: the batch
+# GROUP BY is the fixpoint of the emissions.
+#
+# ENVIRONMENT SEAM: the TWS python<->JVM state protocol is protobuf-framed
+# (pyspark/sql/streaming/proto/StateMessage_pb2), and this container has no
+# `protobuf` package (installs forbidden), so the query registers only when
+# `google.protobuf` imports — same policy as the multimodal codec seam. The
+# implementation below is complete and exercised wherever protobuf exists;
+# applyInPandasWithState (stream_stateful_counter) is the in-container
+# custom-stateful path. TWS additionally requires the RocksDB state store
+# provider, set inside the builder.
+# ---------------------------------------------------------------------------
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("cnt", "c bigint")
+        self._maxv = handle.getValueState("maxv", "m bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        cnt = self._count.get()[0] if self._count.exists() else 0
+        mv = self._maxv.get()[0] if self._maxv.exists() else None
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            cnt += len(pdf)
+            m = int(pdf["value_cents"].max())
+            mv = m if mv is None else max(mv, m)
+        self._count.update((cnt,))
+        if mv is not None:
+            self._maxv.update((mv,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "max_value_cents": [mv]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _stream_transform_with_state(spark, sf_dir)
+    finally:
+        if saved:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType="user_id long, n_events long, max_value_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    emitted = _run_stream_to_table(spark, out, "update")
+    # monotone running values -> the max over per-batch emissions IS the
+    # final state, independent of micro-batch boundaries
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("max_value_cents").cast("long").alias("max_value_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TRANSFORM_STATE_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_value_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SESSION_QUERIES = [
     Q("batch_session_window", batch_session_window, SESSION_ORACLE, "session windows, batch mode"),
     Q("stream_session_window", stream_session_window, SESSION_ORACLE, "session windows, streaming engine"),
     Q("stream_stateful_counter", stream_stateful_counter, None, "applyInPandasWithState custom operator"),
 ]
+
+if _has_protobuf():  # see ENVIRONMENT SEAM note above
+    SESSION_QUERIES.append(
+        Q(
+            "stream_transform_with_state",
+            stream_transform_with_state,
+            TRANSFORM_STATE_ORACLE,
+            "transformWithStateInPandas (Spark 4 typed-state API) with a full batch-equivalence oracle",
+        )
+    )

@@ -4,6 +4,8 @@ and ORC predicate pushdown."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from phabricator_etl_spark.sources.formats import _stage, EVENTS_SCHEMA
@@ -39,3 +41,58 @@ def test_orc_scan_pushes_filters(spark, sf_smoke):
     assert "PushedFilters: [" in plan and "event_type" in plan, plan[:1500]
     # column pruning: the scan's read schema is the 3 referenced columns only
     assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan, plan[:1500]
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_transform_with_state_processor_folds_monotonically():
+    """The TWS processor's folding logic, unit-tested against fake state
+    cells (the real wire protocol needs protobuf, absent in this container —
+    see the ENVIRONMENT SEAM note in streaming/sessions.py)."""
+    import pandas as pd
+
+    from phabricator_etl_spark.streaming.sessions import _RunningTotalsProcessor
+
+    p = _RunningTotalsProcessor()
+    p._count = _FakeValueState()
+    p._maxv = _FakeValueState()
+
+    out1 = list(p.handleInputRows((7,), iter([pd.DataFrame({"value_cents": [5, 9]})]), None))
+    out2 = list(p.handleInputRows((7,), iter([pd.DataFrame({"value_cents": [3]})]), None))
+    assert out1[0].iloc[0].tolist() == [7, 2, 9]
+    assert out2[0].iloc[0].tolist() == [7, 3, 9]  # count grows, max monotone
+    # empty micro-batch leaves state untouched but still reports it
+    out3 = list(p.handleInputRows((7,), iter([pd.DataFrame({"value_cents": []})]), None))
+    assert out3[0].iloc[0].tolist() == [7, 3, 9]
+
+
+def test_transform_with_state_gate_matches_batch_when_protobuf_present(spark):
+    pytest.importorskip("google.protobuf")
+    from phabricator_etl_spark.streaming.sessions import stream_transform_with_state
+
+    got = {r["user_id"]: (r["n_events"], r["max_value_cents"])
+           for r in stream_transform_with_state(spark, "/root/testdata/sf0.001").collect()}
+    from pyspark.sql import functions as F
+
+    from phabricator_etl_spark.sources.catalog import load_table
+
+    exp = {
+        r["user_id"]: (r["n"], r["m"])
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max(F.round(F.col("value") * 100).cast("long")).alias("m"))
+        .collect()
+    }
+    assert got == exp
