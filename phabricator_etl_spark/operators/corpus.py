@@ -208,6 +208,66 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate: build the top-K vocabulary from corpus
+# frequencies, broadcast it, and measure per-language out-of-vocabulary
+# token rates — the tokenizer-coverage evaluation run before committing to
+# a vocab size. Two aggregations; the vocab is broadcast (it is top-K by
+# construction), so the coverage pass never shuffles the token stream a
+# second time.
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 20
+
+
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select("lang", F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(VOCAB_K)
+        .select("w")
+    )
+    flagged = toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).cast("long").alias("n_oov"),
+            F.round(
+                F.lit(1000.0)
+                * F.sum(F.col("in_vocab").isNull().cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+OOV_ORACLE = rf"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT {VOCAB_K}
+  )
+), flagged AS (
+  SELECT t.lang, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (w)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(1000.0 * SUM(oov) / COUNT(*), 4) AS oov_permille
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations: pointwise mutual information over adjacent word pairs —
 # the classic collocation detector (Church & Hanks), and the statistic
 # tokenizer-training pipelines use to find multi-word units worth merging.
@@ -780,6 +840,12 @@ CORPUS_QUERIES = [
         corpus_ngram_topk,
         NGRAM_TOPK_ORACLE,
         "global bigram top-k (map-side combine)",
+    ),
+    Q(
+        "corpus_oov_rate",
+        corpus_oov_rate,
+        OOV_ORACLE,
+        "top-K vocabulary coverage / OOV rate per language (broadcast vocab)",
     ),
     Q(
         "corpus_pmi_collocations",

@@ -65,15 +65,34 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the displayed score is rounded (cross-engine hash convention, see
     query.py docstring).
     """
+    scored = _bm25_scored(spark, sf_dir)
+    return (
+        scored.orderBy(F.desc("score_full"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("score_full"), 4).alias("bm25"),
+        )
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms_matched, score_full) for every matching document —
+    the shared scoring core consumed by the plain top-k and the hybrid
+    re-rank."""
     d = _spread(_t(spark, sf_dir, "documents"))
 
     # (doc_id, term, tf) for query terms only + per-doc length. Filtering to
     # the query terms BEFORE the groupBy keeps the shuffle at posting-list
-    # size; doc length is a separate cheap aggregate over all tokens.
+    # size. The tokenized stream is localCheckpointed because it feeds TWO
+    # aggregations (doc length over all tokens, tf over query terms) — the
+    # explode+split otherwise re-runs per consumer (three document scans
+    # observed in the un-cached plan).
     toks = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("term"),
-    )
+    ).localCheckpoint(eager=True)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
@@ -121,16 +140,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.lit(0.0)
     for i in range(len(BM25_QUERY_TERMS)):
         score = score + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
-    scored = pivoted.select("doc_id", "n_terms_matched", score.alias("score_full"))
-    return (
-        scored.orderBy(F.desc("score_full"), F.asc("doc_id"))
-        .limit(BM25_TOP_K)
-        .select(
-            "doc_id",
-            "n_terms_matched",
-            F.round(F.col("score_full"), 4).alias("bm25"),
-        )
-    )
+    return pivoted.select("doc_id", "n_terms_matched", score.alias("score_full"))
 
 
 def _avgdl_col(dl: DataFrame):
@@ -145,7 +155,9 @@ def _avgdl_col(dl: DataFrame):
     return F.lit(float(row["s"]) / float(row["c"]))
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_ctes() -> str:
+    """The WITH-clause body producing `scored(doc_id, n_terms_matched,
+    score_full)` — shared by the top-k oracle and the hybrid-rerank oracle."""
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     pivot_cols = ",\n         ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
@@ -154,8 +166,7 @@ def _bm25_oracle() -> str:
     fixed_sum = "0.0"
     for i in range(len(BM25_QUERY_TERMS)):
         fixed_sum = f"({fixed_sum} + COALESCE(s{i}, 0.0))"
-    return rf"""
-WITH tok AS (
+    return rf"""tok AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          unnest(regexp_split_to_array(text, '\s+')) AS term
   FROM documents
@@ -187,11 +198,90 @@ WITH tok AS (
 ), scored AS (
   -- fixed-order addition, matching the Spark side exactly (see docstring)
   SELECT doc_id, n_terms_matched, {fixed_sum} AS score_full FROM pivoted
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()}
 SELECT doc_id, n_terms_matched, ROUND(score_full, 4) AS bm25
 FROM scored
 ORDER BY score_full DESC, doc_id
 LIMIT {BM25_TOP_K}
+"""
+
+
+HYBRID_SHORTLIST = 50
+HYBRID_TOP_K = 10
+HYBRID_QUERY_VEC_ID = 0  # the query embedding: a fixed corpus vector
+EMB_SCALE = 10_000  # fixed-point quantization (shared repo convention)
+
+
+def search_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 shortlist → dense embedding re-rank —
+    the standard two-stage search architecture (cheap sparse recall, exact
+    dense precision on a bounded candidate set).
+
+    Stage 1 takes the top-50 BM25 documents; stage 2 joins their embeddings
+    (doc_id == vec_id in the synthetic corpus; documents without a vector
+    simply can't be re-ranked — inner join) and scores an exact int64 dot
+    product against a fixed query vector, broadcast as 64 literals. The
+    expensive dense scoring touches 50 rows, never the corpus — which is the
+    entire point of the architecture at 100 TB.
+    """
+    shortlist = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_full"), F.asc("doc_id"))
+        .limit(HYBRID_SHORTLIST)
+        .select("doc_id", "n_terms_matched", F.round("score_full", 4).alias("bm25"))
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * EMB_SCALE).cast("long")
+        ).alias("qe"),
+    )
+    qvec = [
+        int(v)
+        for v in e.filter(F.col("doc_id") == HYBRID_QUERY_VEC_ID).collect()[0]["qe"]
+    ]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        shortlist.join(e, "doc_id")
+        .select("doc_id", "n_terms_matched", "bm25", dot.alias("dot_q"))
+        .orderBy(F.desc("dot_q"), F.asc("doc_id"))
+        .limit(HYBRID_TOP_K)
+    )
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()}, short AS (
+  SELECT doc_id, n_terms_matched, ROUND(score_full, 4) AS bm25
+  FROM scored ORDER BY score_full DESC, doc_id LIMIT {HYBRID_SHORTLIST}
+), e AS (
+  SELECT CAST(vec_id AS BIGINT) AS doc_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT)) AS qe
+  FROM embeddings
+), q AS (
+  SELECT qe AS qv FROM e WHERE doc_id = {HYBRID_QUERY_VEC_ID}
+), pairs AS (
+  SELECT s.doc_id, CAST(generate_subscripts(e.qe, 1) AS BIGINT) AS i, unnest(e.qe) AS v
+  FROM short s JOIN e USING (doc_id)
+), qtok AS (
+  SELECT CAST(generate_subscripts(qv, 1) AS BIGINT) AS i, unnest(qv) AS qv_i FROM q
+), dot AS (
+  SELECT doc_id, SUM(v * qv_i) AS dot_q FROM pairs JOIN qtok USING (i) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_terms_matched, s.bm25, CAST(d.dot_q AS BIGINT) AS dot_q
+FROM short s JOIN dot d USING (doc_id)
+ORDER BY d.dot_q DESC, s.doc_id
+LIMIT {HYBRID_TOP_K}
 """
 
 
@@ -257,5 +347,11 @@ SEARCH_QUERIES = [
         search_phrase_positions,
         _phrase_oracle(),
         "exact-phrase match via positional inverted-index self-join",
+    ),
+    Q(
+        "search_hybrid_rerank",
+        search_hybrid_rerank,
+        _hybrid_oracle(),
+        "two-stage hybrid retrieval: BM25 shortlist → exact-int dense re-rank",
     ),
 ]

@@ -294,3 +294,74 @@ EVENT_ANALYTICS_QUERIES = [
         "event->next-event Markov transition counts with probabilities",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-ACTIVE-DAY streak per user. The
+# classic rewrite — distinct active days, then (day - row_number) is constant
+# exactly within a consecutive run, so one GROUP BY on that anchor yields the
+# islands with zero self-joins. One user_id-keyed Exchange feeds the distinct,
+# the window AND the island aggregation; linear at 100 TB. Day arithmetic in
+# integer days-since-epoch (UTC session) — no date-diff semantics to diverge.
+# ---------------------------------------------------------------------------
+
+
+def streak_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    days = (
+        ev.select("user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("anchor", F.col("day") - F.row_number().over(w))
+    runs = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    best = Window.partitionBy("user_id").orderBy(F.desc("len"), F.asc("start_day"))
+    return (
+        runs.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak_days"),
+            F.col("start_day").cast("long").alias("streak_start_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+  FROM events
+), islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM days
+), runs AS (
+  SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS start_day
+  FROM islands GROUP BY 1, 2
+), best AS (
+  SELECT user_id, len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk
+  FROM runs
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
+       CAST(start_day AS BIGINT) AS streak_start_day
+FROM best WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+EVENT_ANALYTICS_QUERIES.append(
+    Q(
+        "streak_active_days",
+        streak_active_days,
+        STREAK_ORACLE,
+        "gaps-and-islands longest consecutive-day streak (zero self-joins)",
+    )
+)

@@ -145,6 +145,71 @@ ORDER BY p.event_id
 
 
 # --------------------------------------------------------------------------
+# Interval×interval OVERLAP self-join (the general two-sided form of the
+# banded range join above): per user, count event pairs whose 30-minute
+# activity intervals [ts, ts+30m) overlap — i.e. |t1 − t2| < 30m. The
+# banding rewrite: each interval lands in its start bucket; the LEFT side of
+# the pair additionally probes the next bucket, so every overlapping pair
+# shares ≥1 (user, bucket) key. Equi-join + pair-dedup + exact residual —
+# never a per-user theta join. Bounded per-key fan-out (bucket width ==
+# interval width ⇒ ≤2 buckets/interval). The oracle is the plain
+# inequality join, certifying the rewrite exact.
+# --------------------------------------------------------------------------
+
+OVERLAP_S = 1800  # 30-minute activity interval and band width
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("long").alias("sec"),
+    )
+    withb = e.withColumn("b", F.floor(F.col("sec") / OVERLAP_S))
+    left = withb.select(
+        F.col("user_id"),
+        F.col("eid").alias("a"),
+        F.col("sec").alias("sa"),
+        # pairs are (a,b)-ordered by EVENT ID, not by time, so a's interval
+        # may start before OR after b's: probe all 3 adjacent buckets —
+        # |Δt| < W bounds the bucket distance to 1 in either direction
+        F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)).alias("bucket"),
+    )
+    right = withb.select(
+        F.col("user_id"),
+        F.col("eid").alias("b_id"),
+        F.col("sec").alias("sb"),
+        F.col("b").alias("bucket"),
+    )
+    pairs = (
+        left.join(right, ["user_id", "bucket"])
+        .filter(F.col("a") < F.col("b_id"))
+        .filter(F.abs(F.col("sa") - F.col("sb")) < OVERLAP_S)
+        .select("user_id", "a", F.col("b_id").alias("b"))
+        .distinct()  # a pair can collide in two buckets
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlapping_pairs"))
+        .orderBy("user_id")
+    )
+
+
+INTERVAL_OVERLAP_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+)
+SELECT x.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
+FROM e x JOIN e y
+  ON x.user_id = y.user_id AND x.eid < y.eid AND ABS(x.sec - y.sec) < {OVERLAP_S}
+GROUP BY x.user_id
+ORDER BY x.user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Fixed-width histogram via floor arithmetic (portable width_bucket).
 # --------------------------------------------------------------------------
 
@@ -383,6 +448,7 @@ SAMPLING_STATS_QUERIES = [
     Q("sample_hash_bernoulli", sample_hash_bernoulli, SAMPLE_BERNOULLI_ORACLE, "deterministic 10% hash sample"),
     Q("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE, "per-stratum hash rates"),
     Q("range_join_attribution", range_join_attribution, RANGE_JOIN_ORACLE, "banded range join vs inequality oracle"),
+    Q("join_interval_overlap", join_interval_overlap, INTERVAL_OVERLAP_ORACLE, "interval-overlap self-join via 3-bucket banding vs inequality oracle"),
     Q("histogram_order_totals", histogram_order_totals, HISTOGRAM_ORACLE, "fixed-width histogram"),
     Q("approx_distinct_sketch", approx_distinct_sketch, None, "HLL distinct (pytest-bounded)"),
     Q("approx_quantiles_price", approx_quantiles_price, None, "quantile sketch (pytest-bounded)"),
