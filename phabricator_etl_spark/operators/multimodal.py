@@ -191,8 +191,45 @@ ORDER BY source
 """
 
 
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of opaque BINARY payloads: md5 over the raw bytes (JVM
+    built-in, codegen — the hash never leaves the scan stage), then a
+    per-origin duplication report. The content-addressed-storage primitive
+    for multimodal corpora: identical images/audio dedupe regardless of
+    file name or metadata. DuckDB oracle hashes the same byte sequence
+    (md5 of the utf-8 VARCHAR == md5 of its encoded bytes)."""
+    b = _binary_docs(spark, sf_dir)
+    hashed = b.select(F.col("meta.origin").alias("origin"), F.md5("payload").alias("h"))
+    per_hash = hashed.groupBy("origin", "h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_hash.groupBy("origin")
+        .agg(
+            F.sum("c").cast("long").alias("n_payloads"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("max_dup_count"),
+        )
+        .orderBy("origin")
+    )
+
+
+MM_DEDUP_ORACLE = """
+WITH per_hash AS (
+  SELECT source AS origin, md5(text) AS h, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT origin,
+       CAST(SUM(c) AS BIGINT) AS n_payloads,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS max_dup_count
+FROM per_hash
+GROUP BY origin
+ORDER BY origin
+"""
+
+
 MULTIMODAL_QUERIES = [
     Q("mm_decode_features", mm_decode_features, MM_DECODE_ORACLE, "Arrow-batched fake decode"),
     Q("mm_frame_sample", mm_frame_sample, MM_FRAME_ORACLE, "frame-sampling row fan-out"),
     Q("mm_modality_stats", mm_modality_stats, MM_STATS_ORACLE, "binary column + typed metadata rollup"),
+    Q("mm_dedup_binary", mm_dedup_binary, MM_DEDUP_ORACLE, "content-addressed exact dedup of binary payloads"),
 ]

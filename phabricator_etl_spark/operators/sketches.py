@@ -337,6 +337,119 @@ WITH base AS (
 HIST_QUANTILE_ORACLE = _hist_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan): DEPTH seeded hash rows × WIDTH
+# counters; point-frequency estimate = min over rows of the probed counter.
+# Built as one explode(DEPTH)+groupBy — the sketch IS a (row, bucket, count)
+# relation, trivially mergeable across partitions/days by summing counters
+# (the property that makes CMS the streaming-frequency workhorse). Estimates
+# are biased UP only (collisions add, never subtract) — asserted in pytest;
+# the gate compares estimates AND exact truths per probe key cross-engine.
+# Deterministic: the seeded md5 family shared with minhash/bloom.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBE_KEYS = list(range(1, 11))
+
+
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash_seeds, seeded_hash
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("key")
+    )
+    seeds = hash_seeds(CMS_DEPTH)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (seeded_hash(F.col("key"), a, b) % CMS_WIDTH).cast("long").alias("bucket"),
+            )
+            for d, (a, b) in enumerate(seeds)
+        ]
+    )
+    counters = (
+        li.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # probe buckets are compile-time constants: the same Python hash twin
+    # used by the oracle computes them once on the driver
+    probe_rows = [
+        (k, d, _cms_bucket(str(k), a, b))
+        for k in CMS_PROBE_KEYS
+        for d, (a, b) in enumerate(seeds)
+    ]
+    pb = spark.createDataFrame(probe_rows, "probe_key long, d long, bucket long")
+    est = (
+        F.broadcast(pb)
+        .join(counters, ["d", "bucket"], "left")
+        .groupBy("probe_key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_estimate"))
+    )
+    truth = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isin(CMS_PROBE_KEYS))
+        .groupBy(F.col("l_partkey").cast("long").alias("probe_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    return (
+        est.join(truth, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce("true_count", F.lit(0)).cast("long").alias("true_count"),
+            "cms_estimate",
+        )
+        .orderBy("probe_key")
+    )
+
+
+def _cms_bucket(key: str, a: int, b: int) -> int:
+    """Python twin of hashing.seeded_hash % CMS_WIDTH (same md5 arithmetic)."""
+    import hashlib
+
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    mod30 = 1 << 30
+    mersenne31 = (1 << 31) - 1
+    return ((a * (h % mod30) + b) % mersenne31) % CMS_WIDTH
+
+
+def _cms_oracle() -> str:
+    from ..functions.hashing import hash_seeds, seeded_hash_sql
+
+    seeds = hash_seeds(CMS_DEPTH)
+    row_selects = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, ({seeded_hash_sql('CAST(l_partkey AS VARCHAR)', a, b)}) % {CMS_WIDTH} AS bucket FROM lineitem"
+        for d, (a, b) in enumerate(seeds)
+    )
+    probe_rows = ",\n".join(
+        f"({k}, {d}, {_cms_bucket(str(k), a, b)})"
+        for k in CMS_PROBE_KEYS
+        for d, (a, b) in enumerate(seeds)
+    )
+    keys = ", ".join(str(k) for k in CMS_PROBE_KEYS)
+    return f"""
+WITH sk AS (
+{row_selects}
+), counters AS (
+  SELECT d, bucket, COUNT(*) AS c FROM sk GROUP BY d, bucket
+), probes(probe_key, d, bucket) AS (VALUES
+{probe_rows}
+), est AS (
+  SELECT p.probe_key, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_estimate
+  FROM probes p LEFT JOIN counters c USING (d, bucket)
+  GROUP BY p.probe_key
+), truth AS (
+  SELECT CAST(l_partkey AS BIGINT) AS probe_key, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM lineitem WHERE l_partkey IN ({keys}) GROUP BY 1
+)
+SELECT e.probe_key, CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count, e.cms_estimate
+FROM est e LEFT JOIN truth t USING (probe_key)
+ORDER BY e.probe_key
+"""
+
+
 SKETCH_QUERIES = [
     Q(
         "sketch_histogram_quantiles",
@@ -355,5 +468,11 @@ SKETCH_QUERIES = [
         join_bloom_prefilter,
         BLOOM_ORACLE,
         "Bloom-bitmap join prefilter with exact confirm (result sketch-invisible)",
+    ),
+    Q(
+        "sketch_countmin_freq",
+        sketch_countmin_freq,
+        _cms_oracle(),
+        "Count-Min sketch point-frequency estimates vs exact truths (mergeable counters)",
     ),
 ]

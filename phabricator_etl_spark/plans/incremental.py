@@ -162,8 +162,77 @@ ORDER BY ym
 """
 
 
+# ---------------------------------------------------------------------------
+# Delete maintenance (the TPC-H RF2 shape, public spec): retire a keyed batch
+# of orders AND their lineitems from the maintained state — the GDPR-/
+# retention-delete every lakehouse runs. The delete set derives from a
+# content hash (reproducible without coordination); fact rows follow their
+# parent via one anti-join each. On Delta this is `MERGE WHEN MATCHED THEN
+# DELETE`; the join-rewrite here is what that compiles to. Output: survivor
+# accounting per priority (counts + exact cents), proving cascade
+# consistency (no orphaned lineitems) through the oracle.
+# ---------------------------------------------------------------------------
+
+RF_DELETE_MOD = 50  # retire ~2% of order keys per maintenance run
+
+
+def incr_rf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    doomed = o.filter(
+        md5_long(F.col("o_orderkey").cast("string")) % RF_DELETE_MOD == 0
+    ).select("o_orderkey")
+    o_kept = o.join(doomed, "o_orderkey", "left_anti")
+    li_kept = li.join(
+        doomed.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_anti"
+    )
+    li_per_order = li_kept.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+    return (
+        o_kept.join(li_per_order, o_kept.o_orderkey == li_per_order.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders_kept"),
+            F.sum(F.coalesce("n_lines", F.lit(0))).cast("long").alias("n_lines_kept"),
+            F.sum(F.coalesce("cents", F.lit(0))).cast("long").alias("cents_kept"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _rf_delete_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH doomed AS (
+  SELECT o_orderkey FROM orders WHERE {h} % {RF_DELETE_MOD} = 0
+), o_kept AS (
+  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed)
+), li_per AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM doomed)
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_kept,
+       CAST(SUM(COALESCE(li.n_lines, 0)) AS BIGINT) AS n_lines_kept,
+       CAST(SUM(COALESCE(li.cents, 0)) AS BIGINT) AS cents_kept
+FROM o_kept o LEFT JOIN li_per li ON li.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 INCREMENTAL_QUERIES = [
     Q("incr_watermark_filter", incr_watermark_filter, INCR_WATERMARK_ORACLE, "S2/P6 watermark window"),
     Q("incr_merge_upsert", incr_merge_upsert, INCR_MERGE_ORACLE, "S5/W2 join-rewrite MERGE"),
     Q("incr_month_partitioned", incr_month_partitioned, INCR_MONTH_ORACLE, "W5/§4.4 ym-partition upsert unit"),
+    Q("incr_rf_delete", incr_rf_delete, _rf_delete_oracle(), "RF2-style cascaded delete maintenance (MERGE...DELETE join-rewrite)"),
 ]

@@ -87,6 +87,65 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DYNAMIC-gap session windows (Spark's session_window with a per-event gap
+# expression): clicks tolerate only a 30-minute silence, everything else 2
+# hours — the "engagement-dependent timeout" sessionization product teams
+# actually ask for. The oracle is the general interval-merge rewrite: each
+# event spans [ts, ts+gap); a session breaks exactly when ts exceeds the
+# RUNNING MAX of previous interval ends (a plain LAG is wrong here — an
+# earlier long-gap event can outlast its successor). Native operator vs.
+# classic SQL rewrite, hash-gated equal.
+# ---------------------------------------------------------------------------
+
+CLICK_GAP_S = 1800
+OTHER_GAP_S = 7200
+
+
+def batch_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # the gap expression must be CalendarIntervalType (INTERVAL '...' is
+    # DayTimeInterval in ANSI mode; string literals cast to CalendarInterval)
+    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
+        F.lit("2 hours")
+    )
+    agg = ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return agg.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id", "session_start")
+
+
+SESSION_DYNAMIC_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_id, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN event_type = 'click' THEN {CLICK_GAP_S} ELSE {OTHER_GAP_S} END AS gap
+  FROM events
+), m AS (
+  SELECT *, MAX(sec + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e
+), f AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR sec > prev_end THEN 1 ELSE 0 END AS new_s FROM m
+), n AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+  FROM f
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM n
+GROUP BY user_id, sno
+ORDER BY user_id, session_start
+"""
+
+
 _STATE_SCHEMA = "total BIGINT"
 _OUT_SCHEMA = T.StructType(
     [
@@ -232,6 +291,12 @@ SESSION_QUERIES = [
     Q("batch_session_window", batch_session_window, SESSION_ORACLE, "session windows, batch mode"),
     Q("stream_session_window", stream_session_window, SESSION_ORACLE, "session windows, streaming engine"),
     Q("stream_stateful_counter", stream_stateful_counter, None, "applyInPandasWithState custom operator"),
+    Q(
+        "batch_session_dynamic_gap",
+        batch_session_dynamic_gap,
+        SESSION_DYNAMIC_ORACLE,
+        "dynamic-gap session_window vs the running-max interval-merge SQL rewrite",
+    ),
 ]
 
 if _has_protobuf():  # see ENVIRONMENT SEAM note above

@@ -159,3 +159,29 @@ def test_histogram_quantile_within_one_bin(spark):
     for r in sketch_histogram_quantiles(spark, SF).collect():
         q = {"p50": 500, "p95": 950, "p99": 990}[r.quantile]
         assert abs(r.est_cents - exact[(r.l_returnflag, q)]) <= width + 1, r
+
+
+def test_countmin_overestimates_only_and_twin_hash_agrees(spark):
+    """CMS estimates can only exceed truth (collisions add); the Python
+    bucket twin must agree with the Spark-side seeded_hash expression."""
+    from pyspark.sql import functions as F
+
+    from phabricator_etl_spark.functions.hashing import hash_seeds, seeded_hash
+    from phabricator_etl_spark.operators.sketches import (
+        CMS_WIDTH,
+        _cms_bucket,
+        sketch_countmin_freq,
+    )
+
+    rows = sketch_countmin_freq(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"], r
+
+    (a, b) = hash_seeds(4)[2]
+    keys = ["1", "17", "4099", "hello world"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string").select(
+        "k", (seeded_hash(F.col("k"), a, b) % CMS_WIDTH).alias("bucket")
+    )
+    got = {r["k"]: r["bucket"] for r in df.collect()}
+    assert got == {k: _cms_bucket(k, a, b) for k in keys}
