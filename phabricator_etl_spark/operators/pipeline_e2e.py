@@ -159,11 +159,106 @@ GROUP BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# Dataset card: the summary artifact every published dataset ships with —
+# composition stats (docs/chars per language and per source), duplication
+# rate, and token totals, emitted as ONE long (metric, dim, value) table
+# from ONE DataFrame DAG. Three independent aggregations over one scan
+# lineage, unioned; each branch is the minimal shuffle for its key. The
+# long key/value shape is deliberate: a card gains metrics over time without
+# schema migration.
+# ---------------------------------------------------------------------------
+
+
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    by_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"), F.sum(toks).alias("tokens")
+    )
+    lang_long = by_lang.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("docs_per_lang").alias("metric"), F.col("lang").alias("dim"), F.col("docs").cast("long").alias("value")),
+                F.struct(F.lit("chars_per_lang").alias("metric"), F.col("lang").alias("dim"), F.col("chars").cast("long").alias("value")),
+                F.struct(F.lit("tokens_per_lang").alias("metric"), F.col("lang").alias("dim"), F.col("tokens").cast("long").alias("value")),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.dim", "r.value")
+    by_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("docs"))
+    src_long = by_src.select(
+        F.lit("docs_per_source").alias("metric"),
+        F.col("source").alias("dim"),
+        F.col("docs").cast("long").alias("value"),
+    )
+    from ..functions.hashing import md5_long
+
+    dup = d.select(md5_long(F.col("text")).alias("h")).groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup_long = dup.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("distinct_")
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("total_docs").alias("metric"), F.lit("*").alias("dim"), F.col("total").cast("long").alias("value")),
+                F.struct(F.lit("distinct_texts").alias("metric"), F.lit("*").alias("dim"), F.col("distinct_").cast("long").alias("value")),
+                F.struct(
+                    F.lit("duplicate_docs").alias("metric"),
+                    F.lit("*").alias("dim"),
+                    (F.col("total") - F.col("distinct_")).cast("long").alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.dim", "r.value")
+    return lang_long.unionByName(src_long).unionByName(dup_long).orderBy("metric", "dim")
+
+
+DATASET_CARD_ORACLE = rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS toks
+  FROM documents
+), by_lang AS (
+  SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars, SUM(toks) AS tokens
+  FROM d GROUP BY lang
+), dup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS dist
+  FROM d
+)
+SELECT 'docs_per_lang' AS metric, lang AS dim, CAST(docs AS BIGINT) AS value FROM by_lang
+UNION ALL
+SELECT 'chars_per_lang', lang, CAST(chars AS BIGINT) FROM by_lang
+UNION ALL
+SELECT 'tokens_per_lang', lang, CAST(tokens AS BIGINT) FROM by_lang
+UNION ALL
+SELECT 'docs_per_source', source, CAST(COUNT(*) AS BIGINT) FROM d GROUP BY source
+UNION ALL
+SELECT 'total_docs', '*', total FROM dup
+UNION ALL
+SELECT 'distinct_texts', '*', dist FROM dup
+UNION ALL
+SELECT 'duplicate_docs', '*', total - dist FROM dup
+ORDER BY metric, dim
+"""
+
+
 PIPELINE_E2E_QUERIES = [
     Q(
         "corpus_e2e_funnel",
         corpus_e2e_funnel,
         E2E_ORACLE,
         "normalize -> quality -> dedup -> decontaminate composed; survivor funnel",
+    ),
+    Q(
+        "corpus_dataset_card",
+        corpus_dataset_card,
+        DATASET_CARD_ORACLE,
+        "dataset-card stats (composition, tokens, dup rate) as one long-form DAG",
     ),
 ]

@@ -579,6 +579,90 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Winsorized mean per group: robust location estimate — clip at the exact
+# rank-based P10/P90 data values (lo rank = ceil(n/10) via (n+9)//10, hi
+# symmetric) then average. Rank-based cutpoints are actual data values under
+# a (cents, key) total order, so there is no interpolation semantics to
+# diverge on; the mean is one division of an exact int64 sum (bit-identical).
+# Complements dq_mad_outliers as the other standard robust statistic.
+# ---------------------------------------------------------------------------
+
+
+def fn_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "k")
+    n = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("cnt"),
+    )
+    lo_rank = F.floor((F.col("cnt") + 9) / 10)
+    hi_rank = F.col("cnt") - lo_rank + 1
+    cuts = (
+        r.select(
+            "o_orderpriority",
+            F.when(F.col("rn") == lo_rank, F.col("cents")).alias("lo"),
+            F.when(F.col("rn") == hi_rank, F.col("cents")).alias("hi"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.max("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    clipped = o.join(F.broadcast(cuts), "o_orderpriority").select(
+        "o_orderpriority",
+        F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo")).alias("cc"),
+        "lo",
+        "hi",
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.max("lo").cast("long").alias("p10_cents"),
+            F.max("hi").cast("long").alias("p90_cents"),
+            F.round(
+                F.sum("cc").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("winsorized_mean_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FN_WINSORIZED_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents, k) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM o
+), cuts AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rn = (cnt + 9) // 10 THEN cents END) AS lo,
+         MAX(CASE WHEN rn = cnt - (cnt + 9) // 10 + 1 THEN cents END) AS hi
+  FROM r GROUP BY o_orderpriority
+), clipped AS (
+  SELECT o.o_orderpriority, GREATEST(LEAST(o.cents, c.hi), c.lo) AS cc, c.lo, c.hi
+  FROM o JOIN cuts c USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       CAST(MAX(lo) AS BIGINT) AS p10_cents,
+       CAST(MAX(hi) AS BIGINT) AS p90_cents,
+       ROUND(CAST(SUM(cc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS winsorized_mean_cents
+FROM clipped
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -594,4 +678,5 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_variant_battery", fn_variant_battery, FN_VARIANT_ORACLE, "VARIANT parse + path extraction (Spark 4)"),
     Q("fn_regex_battery", fn_regex_battery, FN_REGEX_ORACLE, "RE2-safe regex battery"),
     Q("fn_window_value_family", fn_window_value_family, FN_WINDOW_VALUE_ORACLE, "first/last/nth_value frames"),
+    Q("fn_winsorized_mean", fn_winsorized_mean, FN_WINSORIZED_ORACLE, "rank-based winsorized mean per group (exact cutpoints)"),
 ]
