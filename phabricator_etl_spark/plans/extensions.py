@@ -496,6 +496,100 @@ FROM s, LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i) t
 """
 
 
+UDTF_N_COLS = 3
+
+
+def udtf_polymorphic_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()` static method): the
+    output schema is COMPUTED at plan time from a constant argument — here
+    "give me the first N tokens as N string columns". The engine calls
+    analyze() with the foldable argument during resolution, so downstream
+    operators see a concrete schema and column pruning still works; eval()
+    then pads/truncates each row to exactly N fields. This is the
+    schema-on-demand contract fixed-returnType UDTFs can't express.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"t{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.split()
+            yield tuple((toks[i] if i < len(toks) else None) for i in range(n))
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_udtf_src2")
+    return spark.sql(
+        f"""
+        SELECT n_name, t.*
+        FROM nation_udtf_src2, LATERAL first_tokens(n_name, {UDTF_N_COLS}) t
+        ORDER BY n_name
+        """
+    )
+
+
+UDTF_POLY_ORACLE = rf"""
+WITH s AS (SELECT n_name, regexp_split_to_array(n_name, '\s+') AS sp FROM nation)
+SELECT n_name,
+       CASE WHEN len(sp) >= 1 THEN sp[1] END AS t0,
+       CASE WHEN len(sp) >= 2 THEN sp[2] END AS t1,
+       CASE WHEN len(sp) >= 3 THEN sp[3] END AS t2
+FROM s
+ORDER BY n_name
+"""
+
+
+def sql_modern_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL conveniences shared by Spark 4 and DuckDB — GROUP BY ALL
+    (group on every non-aggregate select item) and ORDER BY ALL — run as the
+    SAME text on both engines (the strongest parity form, like the
+    sql_interface family)."""
+    from .sql_interface import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_MODERN_TEXT)
+
+
+SQL_MODERN_TEXT = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: a SELECT item referencing an alias defined
+    earlier in the SAME select list (no subquery nesting needed) — same text
+    on both engines."""
+    from .sql_interface import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LATERAL_ALIAS_TEXT)
+
+
+SQL_LATERAL_ALIAS_TEXT = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       -- FLOOR, not a bare int cast: double->int casts round in DuckDB but
+       -- truncate in Spark; floor-then-cast is identical on both
+       CAST(FLOOR(cents / n_orders) AS BIGINT) AS avg_cents_floor
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def obs_metrics_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Observation API: data-quality counters collected DURING the scan
     of the main job — no second pass over the table. At 100 TB this is how
@@ -543,6 +637,9 @@ EXTENSION_QUERIES = [
     Q("sink_partitioned_roundtrip", sink_partitioned_roundtrip, SINK_ORACLE, "ym-partitioned sink + pruned read"),
     Q("pandas_udf_quality", pandas_udf_quality, PANDAS_QUALITY_ORACLE, "Arrow pandas_udf parity"),
     Q("udtf_lateral_tokens", udtf_lateral_tokens, UDTF_LATERAL_ORACLE, "Python UDTF via LATERAL join"),
+    Q("udtf_polymorphic_columns", udtf_polymorphic_columns, UDTF_POLY_ORACLE, "polymorphic UDTF: analyze()-computed output schema"),
+    Q("sql_modern_syntax", sql_modern_syntax, SQL_MODERN_TEXT, "GROUP BY ALL / ORDER BY ALL, same text on both engines"),
+    Q("sql_lateral_alias", sql_lateral_alias, SQL_LATERAL_ALIAS_TEXT, "lateral column alias referenced in the same select list"),
     Q("grouped_map_regression", grouped_map_regression, GROUPED_REGR_ORACLE, "applyInPandas per-group OLS fit"),
     Q("scd2_order_intervals", scd2_order_intervals, SCD2_ORACLE, "SCD2 validity intervals via lead"),
     Q("window_time_range", window_time_range, TIME_RANGE_ORACLE, "time-valued RANGE frame"),
