@@ -335,6 +335,108 @@ ORDER BY bin
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring: train add-one-smoothed bigram
+# probabilities ON THE CORPUS ITSELF, then score each document's average
+# negative log-likelihood — the model-based quality filter (high NLL = the
+# document doesn't look like the corpus), with no external model needed.
+#
+# Float determinism: ln() is implementation-defined in the last ulp and a
+# SUM's order differs between engines, so per-bigram NLL is QUANTIZED to
+# integer micro-nats (floor(-1e6*ln p)) and summed as exact int64 —
+# order-free and bit-identical; only the final displayed average divides.
+#
+# Scale: unigram/bigram count tables are vocabulary-sized — broadcast; the
+# scoring pass is one explode + two broadcast joins + one doc_id
+# aggregation. Linear, no corpus self-join anywhere.
+# ---------------------------------------------------------------------------
+
+
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = _tokens()
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    vocab_size = uni.count()  # |V| for add-one smoothing; a plan literal
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big_counts = (
+        d.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    doc_bi = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(bigrams).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    p = (F.col("cb") + 1).cast("double") / (F.col("cw") + F.lit(vocab_size)).cast("double")
+    nll_micro = F.floor(F.lit(-1_000_000.0) * F.log(p)).cast("long")
+    scored = (
+        doc_bi.join(F.broadcast(big_counts), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .select("doc_id", nll_micro.alias("q"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("q").cast("long").alias("nll_micro_sum"),
+            F.round(
+                F.sum("q").cast("double") / (F.lit(1_000_000.0) * F.count(F.lit(1))), 4
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_lm_oracle() -> str:
+    return r"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, regexp_split_to_array(text, '\s+') AS t
+  FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+), v AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM uni
+), big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS cb FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p FROM tok
+  ) GROUP BY 1, 2
+), doc_bi AS (
+  SELECT doc_id, p.w1, p.w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+    FROM tok
+  )
+), scored AS (
+  SELECT d.doc_id,
+         CAST(FLOOR(-1000000.0 * LN((big.cb + 1) / (uni.cw + v.vs))) AS BIGINT) AS q
+  FROM doc_bi d
+  JOIN big USING (w1, w2)
+  JOIN uni ON uni.w = d.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(q) AS BIGINT) AS nll_micro_sum,
+       ROUND(CAST(SUM(q) AS DOUBLE) / (1000000.0 * COUNT(*)), 4) AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = [
     Q("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE, "token/char/punct counting"),
     Q("text_lang_id", text_lang_id, LANG_ID_ORACLE, "marker-token language ID"),
@@ -342,4 +444,5 @@ TEXT_QUERIES = [
     Q("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE, "rolling-hash fingerprint"),
     Q("text_repetition_stats", text_repetition_stats, REPETITION_ORACLE, "Gopher-style intra-doc repetition signals"),
     Q("text_curriculum_bins", text_curriculum_bins, CURRICULUM_ORACLE, "deterministic quality-decile curriculum binning"),
+    Q("text_bigram_lm_score", text_bigram_lm_score, _bigram_lm_oracle(), "self-trained bigram-LM NLL quality score (integer micro-nats)"),
 ]

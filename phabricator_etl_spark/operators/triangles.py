@@ -128,6 +128,82 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
     return corners.join(deg, "n")
 
 
+LINK_PRED_TOP_K = 20
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (the classic Liben-Nowell/Kleinberg
+    baseline): for NON-adjacent pairs sharing ≥1 neighbor, score by neighbor
+    Jaccard |N(x)∩N(y)| / |N(x)∪N(y)|; top-k candidates are the predicted
+    edges. Wedge join on the common neighbor generates exactly the pairs
+    with cn ≥ 1 (never all pairs); existing edges are anti-joined out.
+    Ranking key is the exact rational 1000·cn/(dx+dy−cn) rounded to int —
+    cross-engine stable. Hub-vertex wedge blowup is bounded the same way as
+    graph_triangle_count at scale: degree-cap or orientation before the
+    wedge join (documented there); the plain form here IS the oracle shape.
+    """
+    e = _canonical_edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).union(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    x = adj.select(F.col("node").alias("x"), F.col("nb").alias("ctr"))
+    y = adj.select(F.col("node").alias("y"), F.col("nb").alias("ctr"))
+    cn = (
+        x.join(y, "ctr")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_adjacent = cn.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_anti"
+    )
+    scored = (
+        non_adjacent.join(deg.select(F.col("node").alias("x"), F.col("deg").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("deg").alias("dy")), "y")
+        .select(
+            "x",
+            "y",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(
+                F.lit(1000.0) * F.col("cn") / (F.col("dx") + F.col("dy") - F.col("cn"))
+            )
+            .cast("long")
+            .alias("jaccard_x1000"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_x1000"), F.desc("common_neighbors"), F.asc("x"), F.asc("y")
+    ).limit(LINK_PRED_TOP_K)
+
+
+def _link_pred_oracle() -> str:
+    return f"""
+WITH e AS ({_EDGES_SQL}
+), adj AS (
+  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM adj GROUP BY node
+), cn AS (
+  SELECT x.node AS x, y.node AS y, COUNT(*) AS cn
+  FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY 1, 2
+), non_adj AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.x AND e.b = cn.y)
+), scored AS (
+  SELECT n.x, n.y, CAST(n.cn AS BIGINT) AS common_neighbors,
+         CAST(ROUND(1000.0 * n.cn / (dx.deg + dy.deg - n.cn)) AS BIGINT) AS jaccard_x1000
+  FROM non_adj n
+  JOIN deg dx ON dx.node = n.x
+  JOIN deg dy ON dy.node = n.y
+)
+SELECT * FROM scored
+ORDER BY jaccard_x1000 DESC, common_neighbors DESC, x, y
+LIMIT {LINK_PRED_TOP_K}
+"""
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = triangle_corner_counts(_canonical_edges(spark, sf_dir))
     return counts.select(
@@ -165,5 +241,11 @@ TRIANGLE_QUERIES = [
         graph_triangle_count,
         TRIANGLE_ORACLE,
         "degree-ordered node-iterator triangle counting (per-corner counts)",
+    ),
+    Q(
+        "graph_link_prediction",
+        graph_link_prediction,
+        _link_pred_oracle(),
+        "common-neighbor Jaccard link prediction (wedge-join candidates, exact-rational rank)",
     ),
 ]
