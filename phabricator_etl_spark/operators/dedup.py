@@ -507,6 +507,52 @@ WHERE round(1000.0 * inter / sa.sz) >= {CONTAINMENT_THRESHOLD_X1000}
 """
 
 
+# ---------------------------------------------------------------------------
+# Novelty rate: the share of a document's shingles that appear NOWHERE else
+# in the corpus (df == 1) — high novelty = unique content worth keeping,
+# low novelty = assembled from common fragments (template/boilerplate risk);
+# the complement of the dedup signals above. One more consumer of the shared
+# posting index: df table + per-doc tally, no new corpus scan.
+# ---------------------------------------------------------------------------
+
+
+def corpus_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_postings(spark, sf_dir)
+    dfx = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfx, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_unique"),
+            F.round(
+                F.lit(1000.0) * F.sum((F.col("df") == 1).cast("long")) / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("novelty_x1000"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NOVELTY_ORACLE = f"""
+WITH sh0 AS (
+  SELECT doc_id, {md5_long_sql('shingle')} AS sh
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_shingles_sql()}) AS shingle FROM documents)
+), dfx AS (
+  SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(ROUND(1000.0 * SUM(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+         AS novelty_x1000
+FROM sh0 s JOIN dfx USING (sh)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 DEDUP_QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
     Q("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "inverted-index n-gram Jaccard"),
@@ -514,4 +560,5 @@ DEDUP_QUERIES = [
     Q("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "16-bit SimHash signatures"),
     Q("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_COSINE_ORACLE, "quantized cosine near-dup"),
     Q("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "directed shingle containment (quote/boilerplate inclusion)"),
+    Q("corpus_novelty_rate", corpus_novelty_rate, NOVELTY_ORACLE, "per-doc share of corpus-unique shingles (shared posting index)"),
 ]

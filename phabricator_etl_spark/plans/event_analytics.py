@@ -365,3 +365,69 @@ EVENT_ANALYTICS_QUERIES.append(
         "gaps-and-islands longest consecutive-day streak (zero self-joins)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: the classic recency / frequency / monetary customer
+# scoring. Recency is anchored to a FIXED date (a runtime `now` would make
+# results non-reproducible — same policy as the cohort anchor); R/F/M are
+# quintile scores from ntile over TOTAL orders ((metric, user_id)) so bucket
+# boundaries are deterministic across engines. One user_id aggregation +
+# three cheap ntile windows over the (small) per-user rollup.
+# ---------------------------------------------------------------------------
+
+RFM_ANCHOR = "2026-01-01"
+
+
+def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.lit(RFM_ANCHOR).cast("date"), F.max(F.to_date("ts")))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))  # recent = best
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    return (
+        per_user.withColumn("r_score", F.ntile(5).over(r_w).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(f_w).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(m_w).cast("long"))
+        .orderBy("user_id")
+    )
+
+
+RFM_ORACLE = f"""
+WITH per_user AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(DATEDIFF('day', MAX(CAST(ts AS DATE)), DATE '{RFM_ANCHOR}') AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m_score
+FROM per_user
+ORDER BY user_id
+"""
+
+
+EVENT_ANALYTICS_QUERIES.append(
+    Q(
+        "event_rfm_segmentation",
+        event_rfm_segmentation,
+        RFM_ORACLE,
+        "RFM quintile segmentation (fixed anchor, deterministic ntile boundaries)",
+    )
+)
