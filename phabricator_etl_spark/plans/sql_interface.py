@@ -223,6 +223,42 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PARAM_TEXT, args=SQL_PARAM_ARGS)
 
 
+# SQL PIVOT syntax (Spark's native PIVOT clause; DuckDB's PIVOT differs, so
+# the oracle is the portable CASE-aggregation expansion — which is also
+# exactly what Catalyst compiles PIVOT into: one Expand-free hash aggregate,
+# no per-column scans).
+SQL_PIVOT_TEXT = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+PIVOT (
+  COUNT(*) AS n, SUM(cents) AS cents
+  FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)
+)
+ORDER BY o_orderpriority
+"""
+
+SQL_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS p_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PIVOT_TEXT)
+
+
 SQL_INTERFACE_QUERIES = [
     Q("sql_exists_decorrelated", _sql_query(SQL_EXISTS), SQL_EXISTS, "text-SQL EXISTS -> semi-join"),
     Q("sql_scalar_subquery", _sql_query(SQL_SCALAR_SUBQUERY), SQL_SCALAR_SUBQUERY, "text-SQL scalar subquery"),
@@ -236,5 +272,6 @@ SQL_INTERFACE_QUERIES = [
         "WITH RECURSIVE transitive walk, cross-checked vs pointer-jump BFS",
     ),
     Q("sql_udf_scalar", sql_udf_scalar, SQL_UDF_ORACLE, "SQL-defined scalar function (declarative UDF, fully codegen)"),
+    Q("sql_pivot_syntax", sql_pivot_syntax, SQL_PIVOT_ORACLE, "native PIVOT clause vs its CASE-aggregation expansion"),
     Q("sql_parameterized", sql_parameterized, SQL_PARAM_ORACLE, "named-parameter SQL binding (injection-safe literals)"),
 ]
