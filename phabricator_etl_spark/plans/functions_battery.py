@@ -663,6 +663,107 @@ ORDER BY o_orderpriority
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# fn_mode_deterministic: modal value per group with an explicit tiebreak
+# (max count, then min value) — built-in mode() breaks ties arbitrarily in
+# both engines, so the deterministic form is counts + one window, the same
+# move as every "first"/W3 rewrite in this repo.
+# ---------------------------------------------------------------------------
+
+
+def fn_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    counts = li.groupBy("l_returnflag", "qty").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("qty"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("modal_qty"),
+            F.col("c").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+FN_MODE_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c DESC, qty) AS rk
+  FROM counts
+)
+SELECT l_returnflag, qty AS modal_qty, CAST(c AS BIGINT) AS n_occurrences
+FROM ranked WHERE rk = 1
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_pareto_share: the ABC/Pareto curve — order customers by revenue
+# descending and report how few account for 50% / 80% / 95% of the total.
+# Running SUM over exact int64 cents (order-free correctness: the frame is a
+# total order), one division per row for the share; output counts are ints.
+# ---------------------------------------------------------------------------
+
+
+def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").cast("long").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("cust")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_cust.agg(F.sum("cents").cast("long")).collect()[0][0]
+    ranked = per_cust.select(
+        "cust",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
+    # customers needed to reach each threshold = rows strictly below it + 1
+    # (thresholds in exact integer cents: ceil(total*pct/100))
+    res = None
+    for pct in (50, 80, 95):
+        thresh = -(-total * pct // 100)
+        n = ranked.filter(F.col("cum_cents") < thresh).agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_customers")
+        ).select(F.lit(pct).cast("long").alias("pct"), "n_customers")
+        res = n if res is None else res.unionByName(n)
+    return res.orderBy("pct")
+
+
+PARETO_ORACLE = """
+WITH per_cust AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_cust
+), ranked AS (
+  SELECT cust, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, cust
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM per_cust
+)
+SELECT p.pct,
+       CAST((SELECT COUNT(*) FROM ranked, t
+             WHERE cum_cents < (total * p.pct + 99) // 100) + 1 AS BIGINT) AS n_customers
+FROM (VALUES (CAST(50 AS BIGINT)), (CAST(80 AS BIGINT)), (CAST(95 AS BIGINT))) AS p(pct)
+ORDER BY p.pct
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -679,4 +780,6 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_regex_battery", fn_regex_battery, FN_REGEX_ORACLE, "RE2-safe regex battery"),
     Q("fn_window_value_family", fn_window_value_family, FN_WINDOW_VALUE_ORACLE, "first/last/nth_value frames"),
     Q("fn_winsorized_mean", fn_winsorized_mean, FN_WINSORIZED_ORACLE, "rank-based winsorized mean per group (exact cutpoints)"),
+    Q("fn_mode_deterministic", fn_mode_deterministic, FN_MODE_ORACLE, "modal value per group with explicit tiebreak"),
+    Q("window_pareto_share", window_pareto_share, PARETO_ORACLE, "Pareto/ABC curve: customers needed for 50/80/95% of revenue"),
 ]
