@@ -764,6 +764,44 @@ ORDER BY p.pct
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# fn_boolean_agg_battery: the boolean/conditional aggregate family —
+# count_if, bool_and/bool_or (every/any), plus a DETERMINISTIC stand-in for
+# any_value (MIN — any_value is whichever-row-wins in both engines, so the
+# portable form pins it, same policy as W3/mode).
+# ---------------------------------------------------------------------------
+
+
+def fn_boolean_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150_000).cast("long").alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 1_000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.min(F.col("o_custkey").cast("long")).cast("long").alias("first_custkey"),  # deterministic any_value
+            F.count_if(F.dayofweek("o_orderdate") == 1).cast("long").alias("n_sunday"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FN_BOOL_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (o_totalprice > 150000) AS BIGINT) AS n_big,
+       BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+       BOOL_OR(o_orderstatus = 'P') AS any_pending,
+       CAST(MIN(o_custkey) AS BIGINT) AS first_custkey,
+       CAST(COUNT(*) FILTER (EXTRACT(dow FROM o_orderdate) + 1 = 1) AS BIGINT) AS n_sunday
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_string_battery", fn_string_battery, FN_STRING_ORACLE, "16-function string battery"),
     Q("fn_date_battery", fn_date_battery, FN_DATE_ORACLE, "12-function date battery (dow parity)"),
@@ -782,4 +820,5 @@ FUNCTIONS_BATTERY_QUERIES = [
     Q("fn_winsorized_mean", fn_winsorized_mean, FN_WINSORIZED_ORACLE, "rank-based winsorized mean per group (exact cutpoints)"),
     Q("fn_mode_deterministic", fn_mode_deterministic, FN_MODE_ORACLE, "modal value per group with explicit tiebreak"),
     Q("window_pareto_share", window_pareto_share, PARETO_ORACLE, "Pareto/ABC curve: customers needed for 50/80/95% of revenue"),
+    Q("fn_boolean_agg_battery", fn_boolean_agg_battery, FN_BOOL_AGG_ORACLE, "count_if / bool_and / bool_or / deterministic any_value"),
 ]
