@@ -345,8 +345,15 @@ ORDER BY bin
 #
 # Float determinism: ln() is implementation-defined in the last ulp and a
 # SUM's order differs between engines, so per-bigram NLL is QUANTIZED to
-# integer micro-nats (floor(-1e6*ln p)) and summed as exact int64 —
-# order-free and bit-identical; only the final displayed average divides.
+# integer MILLI-nats (floor(-1e3*ln p)) and summed as exact int64 —
+# order-free; only the final displayed average divides. The quantizer grid
+# is deliberately coarse: floor() flips between engines only when
+# -SCALE*ln(p) lands within ~1 ulp of an integer, and that probability is
+# proportional to SCALE (absolute ulp of SCALE*14 nats). At 1e3 the
+# per-bigram flake odds are ~2e-12 — negligible even at 1e9 bigrams —
+# where 1e6 would reach percent-level odds at corpus scale. The residual
+# risk is documented, not zero: a bit-exact alternative would rank on the
+# exact rational (cb+1, cw+V) pairs, at the cost of no longer being an NLL.
 #
 # Scale: unigram/bigram count tables are vocabulary-sized — broadcast; the
 # scoring pass is one explode + two broadcast joins + one doc_id
@@ -382,19 +389,19 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(bigrams).alias("b")
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     p = (F.col("cb") + 1).cast("double") / (F.col("cw") + F.lit(vocab_size)).cast("double")
-    nll_micro = F.floor(F.lit(-1_000_000.0) * F.log(p)).cast("long")
+    nll_milli = F.floor(F.lit(-1_000.0) * F.log(p)).cast("long")
     scored = (
         doc_bi.join(F.broadcast(big_counts), ["w1", "w2"])
         .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
-        .select("doc_id", nll_micro.alias("q"))
+        .select("doc_id", nll_milli.alias("q"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("q").cast("long").alias("nll_micro_sum"),
+            F.sum("q").cast("long").alias("nll_milli_sum"),
             F.round(
-                F.sum("q").cast("double") / (F.lit(1_000_000.0) * F.count(F.lit(1))), 4
+                F.sum("q").cast("double") / (F.lit(1_000.0) * F.count(F.lit(1))), 4
             ).alias("avg_nll"),
         )
         .orderBy("doc_id")
@@ -421,7 +428,7 @@ WITH tok AS (
   )
 ), scored AS (
   SELECT d.doc_id,
-         CAST(FLOOR(-1000000.0 * LN((big.cb + 1) / (uni.cw + v.vs))) AS BIGINT) AS q
+         CAST(FLOOR(-1000.0 * LN((big.cb + 1) / (uni.cw + v.vs))) AS BIGINT) AS q
   FROM doc_bi d
   JOIN big USING (w1, w2)
   JOIN uni ON uni.w = d.w1
@@ -429,8 +436,8 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       CAST(SUM(q) AS BIGINT) AS nll_micro_sum,
-       ROUND(CAST(SUM(q) AS DOUBLE) / (1000000.0 * COUNT(*)), 4) AS avg_nll
+       CAST(SUM(q) AS BIGINT) AS nll_milli_sum,
+       ROUND(CAST(SUM(q) AS DOUBLE) / (1000.0 * COUNT(*)), 4) AS avg_nll
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
@@ -444,5 +451,5 @@ TEXT_QUERIES = [
     Q("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE, "rolling-hash fingerprint"),
     Q("text_repetition_stats", text_repetition_stats, REPETITION_ORACLE, "Gopher-style intra-doc repetition signals"),
     Q("text_curriculum_bins", text_curriculum_bins, CURRICULUM_ORACLE, "deterministic quality-decile curriculum binning"),
-    Q("text_bigram_lm_score", text_bigram_lm_score, _bigram_lm_oracle(), "self-trained bigram-LM NLL quality score (integer micro-nats)"),
+    Q("text_bigram_lm_score", text_bigram_lm_score, _bigram_lm_oracle(), "self-trained bigram-LM NLL quality score (integer milli-nats)"),
 ]

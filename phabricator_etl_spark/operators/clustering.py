@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..query import Q
+from ..session import session_key
 from ..sources.catalog import load_table as _t
 
 K_CELLS = 8
@@ -181,11 +182,11 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The fitted centroid table is deterministic per sf_dir; both gate entries
 # need it, so cache the (checkpointed) result per session+path.
-_FIT_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FIT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _FIT_CACHE:
         _FIT_CACHE[key] = kmeans_fit(_vectors(spark, sf_dir))
     return _FIT_CACHE[key]

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query import Q
+from ..session import session_key
 from ..sources.catalog import load_table as _t
 from ..functions.hashing import MERSENNE31, MOD30, hash_seeds, md5_long, md5_long_sql
 
@@ -116,7 +117,7 @@ def _spread(d: DataFrame) -> DataFrame:
     return d.repartition(target) if d.rdd.getNumPartitions() < target else d
 
 
-_POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,8 +128,17 @@ def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives — same memoization policy as the bucketed-table and
     sorted-stage fixtures. localCheckpoint pins it in block storage; the
     cache also saves the per-query explode+md5 pass that previously ran
-    identically in two queries."""
-    key = (id(spark), sf_dir)
+    identically in two queries.
+
+    Keyed by applicationId (stable, unique per SparkContext) rather than
+    id(spark): localCheckpoint blocks die with the context, and CPython may
+    reuse id() after GC, so an id-keyed cache could hand a fresh session a
+    dead DataFrame. Entries owned by other (stopped) applications are evicted
+    on access so the cache never pins block storage past a session's life."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    for stale in [k for k in _POSTINGS_CACHE if k[0] != app_id]:
+        del _POSTINGS_CACHE[stale]
     if key not in _POSTINGS_CACHE:
         d = _spread(_t(spark, sf_dir, "documents"))
         _POSTINGS_CACHE[key] = (

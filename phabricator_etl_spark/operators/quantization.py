@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..query import Q
+from ..session import session_key
 from ..sources.catalog import load_table as _t
 from .clustering import kmeans_fit
 from .similarity import COSINE_SCALE, N_QUERIES, TOP_K, _dot, _quantized
@@ -52,13 +53,13 @@ def _subdim(spark: SparkSession, sf_dir: str) -> int:
     return dim // PQ_M
 
 
-_CODEBOOK_CACHE: dict[tuple[int, str], list] = {}
+_CODEBOOK_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _codebooks(spark: SparkSession, sf_dir: str):
     """Per-sub-space (PQ_K, subdim) centroid matrices, driver-side (the
     trained model: 4 * 16 * 16 doubles — parameter-sized, not data-sized)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _CODEBOOK_CACHE:
         import numpy as np
 

@@ -288,8 +288,9 @@ LIMIT {HYBRID_TOP_K}
 def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase occurrence counting via a positional inverted index.
 
-    posexplode(tokens) -> (doc_id, pos, term); the 2-term phrase is an
-    equi-join of posting('of') with posting('the') on (doc_id, pos+1).
+    posexplode(tokens) -> (doc_id, pos, term); the 2-term phrase
+    (``PHRASE = ['table', 'value']``) is an equi-join of posting(PHRASE[0])
+    with posting(PHRASE[1]) on (doc_id, pos+1).
     Output: per-document occurrence count + first match position, for every
     document containing the phrase at least once.
     """

@@ -7,6 +7,8 @@ before any pair containing it is generated — so the self-join runs over
 frequent-item posting lists, not the raw basket stream. The same
 per-basket self-join + min-support pattern is how co-occurrence statistics
 (word co-occurrence, product affinity, co-citation) are mined at 100 TB.
+The basket total N is a broadcast 1-row aggregate folded into the plan
+(no driver-blocking .count() mid-pipeline) — the whole query is one job.
 
 Scale notes: the pair join is keyed on the basket id (uniform, bounded
 basket size ⇒ bounded per-key fan-out, the same guarantee the triangle
@@ -34,7 +36,13 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("long").alias("basket"),
         F.col("l_partkey").cast("long").alias("item"),
     ).distinct()
-    n_baskets = baskets.select("basket").distinct().count()
+    # basket count as a broadcast 1-row scalar (crossJoin'd at the end):
+    # keeps the whole query ONE job instead of an eager mid-pipeline
+    # .count() that blocks the driver — same pattern as corpus_heavy_hitters
+    # and this query's own oracle (CROSS JOIN n)
+    n_baskets = baskets.agg(
+        F.count_distinct("basket").cast("double").alias("nb")
+    )
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     # A-priori prune: any pair with support >= s has both items with
     # support >= s — drop infrequent items BEFORE the pair join
@@ -51,12 +59,13 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = F.broadcast(frequent.select(F.col("item").alias("a"), F.col("c").alias("ca")))
     cb = F.broadcast(frequent.select(F.col("item").alias("b"), F.col("c").alias("cb")))
-    lift = (F.lit(float(n_baskets)) * F.col("support")) / (F.col("ca") * F.col("cb")).cast(
+    lift = (F.col("nb") * F.col("support")) / (F.col("ca") * F.col("cb")).cast(
         "double"
     )
     return (
         pairs.join(ca, "a")
         .join(cb, "b")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "a",
             "b",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query import Q
+from ..session import session_key
 from ..sources import phab_fixtures
 from . import phab_pipelines as P
 
@@ -37,7 +38,7 @@ _TABLES = (
 NULL_MARK = "<null>"
 
 
-_WORLDS: dict[int, phab_fixtures.PhabSources] = {}
+_WORLDS: dict[str, phab_fixtures.PhabSources] = {}
 
 
 def _ensure_world(spark: SparkSession) -> phab_fixtures.PhabSources:
@@ -47,7 +48,7 @@ def _ensure_world(spark: SparkSession) -> phab_fixtures.PhabSources:
     Memoized per session: generation is pure (fixed seed), so the 8 pipeline
     gate entries share ONE set of source DataFrames instead of re-running the
     driver-side createDataFrame x15 (and its Arrow conversion) per query."""
-    key = id(spark)
+    key = session_key(spark)
     if key in _WORLDS:
         return _WORLDS[key]
     src = phab_fixtures.generate(spark, seed=FIXTURE_SEED)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..query import Q
+from ..session import session_key
 from ..sources.catalog import load_table
 
 _TABLES = [
@@ -24,11 +25,11 @@ _TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-_REGISTERED: set[tuple[int, str]] = set()
+_REGISTERED: set[tuple[str, str]] = set()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key in _REGISTERED:
         return
     for t in _TABLES:
@@ -242,11 +243,11 @@ ORDER BY o_orderpriority
 
 SQL_PIVOT_ORACLE = """
 SELECT o_orderpriority,
-       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents,
-       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
-       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n,
        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS p_cents
 FROM orders
 GROUP BY o_orderpriority

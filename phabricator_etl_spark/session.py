@@ -24,6 +24,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable per-SparkContext cache key.
+
+    id(spark) is unsafe for process-lifetime caches: CPython can reuse an id
+    after GC, and cached artifacts (localCheckpoint blocks, temp views) die
+    with the context — a recycled id would hand a new session dead state.
+    applicationId is unique per context and survives session clones."""
+    return spark.sparkContext.applicationId
+
+
 def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     cpus = default_parallelism()
     builder = (
