@@ -131,6 +131,36 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_smoke):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low vs brute force"
 
 
+def test_ann_lsh_multiprobe_recall(spark, sf_smoke):
+    """Multiprobe (Hamming-1 neighbor buckets) must lift recall well above
+    the exact-bucket operating point at only ~2x candidate cost: measured
+    1.0 vs 0.64 (sf0.001) and 1.0 vs 0.70 (sf0.01). Floor set at 0.85 —
+    the design target from VERDICT r4 #5 — and multiprobe recall must never
+    drop below the exact-bucket baseline (its probes are a superset)."""
+    from phabricator_etl_spark.operators.similarity import (
+        ann_lsh_bucket,
+        ann_lsh_multiprobe,
+        ann_topk_bruteforce,
+    )
+
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_topk_bruteforce(spark, sf_smoke).collect()
+    }
+    bucket = {
+        (r["query_id"], r["cand_id"]) for r in ann_lsh_bucket(spark, sf_smoke).collect()
+    }
+    multi = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_lsh_multiprobe(spark, sf_smoke).collect()
+    }
+    assert truth
+    r_bucket = len(truth & bucket) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi >= 0.85, f"multiprobe recall {r_multi:.2f} below design floor"
+    assert r_multi >= r_bucket, f"multiprobe {r_multi:.2f} < exact-bucket {r_bucket:.2f}"
+
+
 def test_cosine_neardup_recall_vs_exhaustive(spark, sf_smoke):
     """The banded sign-bucket candidate generation must recover most true
     cos >= threshold pairs (one 4-bit band alone recovers ~14%). Truth is
