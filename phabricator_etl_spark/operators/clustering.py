@@ -5,16 +5,23 @@ column as a stand-in cell id; this module builds REAL cells: k-means via
 iterative DataFrame aggregation (no MLlib dependency — the point is the
 engine primitive), then IVF search against the learned centroids.
 
-Determinism: init = the k lowest vec_ids; each iteration assigns by exact
-argmin over quantized-integer distances and recomputes centroids with
-Spark's avg. Float summation order varies across engines, so these are
-rows-only gate entries; the semantic invariants (SSE monotonically
-non-increasing, assignment = argmin to final centroids, k cells non-empty)
-are pytest-checked in tests/test_clustering.py.
+INTEGER-EXACT Lloyd (VERDICT r4 #3 — formerly rows-only): vectors are
+quantized to int64 (scale 1e4) and SHIFTED non-negative (+OFFSET_Q; squared
+distances are translation-invariant, and non-negative operands make
+DuckDB's truncating `//`, Spark's `div` and numpy's `//` agree — they
+differ on negatives). Centroid updates floor-divide exact integer sums, so
+every iteration is order-free int64 arithmetic and the SAME fixpoint is
+reproduced bit-for-bit by the numpy local path, the distributed DataFrame
+loop, and a DuckDB oracle with the iterations unrolled as CTE blocks
+(iteration count is a plan constant — no recursion needed). The
+grid-quantized centroid (vs the exact rational mean) perturbs each
+coordinate by < 1 quantization unit = 1e-4 of the data scale; semantic
+invariants (near-monotone SSE, argmin assignment, k cells non-empty) remain
+pytest-checked in tests/test_clustering.py.
 
 Scale: each iteration is one broadcast of k centroids (tiny) + one scan with
 map-side partial aggregation — the canonical embarrassingly-parallel Lloyd.
-The centroid table never exceeds k x dim doubles; the corpus never shuffles.
+The centroid table never exceeds k x dim longs; the corpus never shuffles.
 """
 
 from __future__ import annotations
@@ -31,45 +38,49 @@ K_CELLS = 8
 ITERATIONS = 5
 TOP_K = 5
 N_QUERIES = 10
+SCALE_Q = 10_000  # fixed-point scale (matches similarity.COSINE_SCALE)
+OFFSET_Q = 10_000  # shift into non-negative so floor == trunc in every engine
 
 # Driver-cutover threshold in VECTORS (same philosophy + probe mechanics as
 # graph.LOCAL_EDGE_THRESHOLD): below it, 5 Lloyd rounds are pure scheduling
-# overhead vs one Arrow transfer + numpy matmuls. 64Ki x dim=64 doubles is
+# overhead vs one Arrow transfer + numpy matmuls. 64Ki x dim=64 longs is
 # ~32 MB driver-side — the broadcast-sized regime. The distributed loop is
 # the 100 TB path and stays the default above the threshold.
 KMEANS_LOCAL_ROWS = 65_536
 
 
 def _sq_dist(a: str, b: str) -> F.Column:
+    """Exact integer squared distance between two long-array columns."""
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda s, v: s + v,
     )
 
 
 def _local_kmeans(vectors: DataFrame, vpd, k: int, iterations: int) -> DataFrame:
-    """Driver numpy Lloyd for subcritical inputs — identical semantics to the
-    distributed loop: init = k lowest vec_ids, argmin assignment with
-    lowest-cell tie-break (np.argmin returns the FIRST min, matching
-    min(struct(d, cell))), empty cells keep their centroid. Distances via
-    the |x-c|^2 = |x|^2 - 2x.c + |c|^2 expansion: an (n,k) matmul, never an
-    (n,k,dim) tensor."""
+    """Driver numpy Lloyd for subcritical inputs — identical INTEGER
+    semantics to the distributed loop: init = k lowest vec_ids, argmin
+    assignment with lowest-cell tie-break (np.argmin returns the FIRST min,
+    matching the ROW_NUMBER-over-(d, cell) rule), centroid = floor of the
+    exact integer mean, empty cells keep their centroid. Distances via the
+    |x-c|^2 = |x|^2 - 2x.c + |c|^2 expansion: an (n,k) int64 matmul, never
+    an (n,k,dim) tensor."""
     import numpy as np
     import pandas as pd
 
     order = np.argsort(vpd["vec_id"].to_numpy())
-    X = np.vstack(vpd["vec"].to_numpy()).astype(np.float64)[order]
+    X = np.vstack(vpd["vec"].to_numpy()).astype(np.int64)[order]
     C = X[:k].copy()
     for _ in range(iterations):
-        d = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
+        d = (X * X).sum(1, keepdims=True) - 2 * (X @ C.T) + (C * C).sum(1)
         a = d.argmin(1)
         for c in range(k):
             members = X[a == c]
             if len(members):
-                C[c] = members.mean(0)
+                C[c] = members.sum(0) // len(members)
     out = pd.DataFrame({"cell": np.arange(1, k + 1, dtype=np.int32), "centroid": list(C)})
-    return vectors.sparkSession.createDataFrame(out, "cell int, centroid array<double>")
+    return vectors.sparkSession.createDataFrame(out, "cell int, centroid array<bigint>")
 
 
 def kmeans_fit(
@@ -79,10 +90,11 @@ def kmeans_fit(
     iterations: int = ITERATIONS,
     local_threshold: int | None = None,
 ) -> DataFrame:
-    """vectors: (vec_id long, vec array<double>). Returns (cell, centroid).
+    """vectors: (vec_id long, vec array<long> — quantized, non-negative).
+    Returns (cell, centroid array<long>).
 
-    Lloyd's algorithm: assign to nearest centroid, recompute means. Empty
-    cells keep their previous centroid (standard fix)."""
+    Lloyd's algorithm: assign to nearest centroid, recompute floored integer
+    means. Empty cells keep their previous centroid (standard fix)."""
     if local_threshold is None:
         local_threshold = KMEANS_LOCAL_ROWS
     if local_threshold > 0:
@@ -98,15 +110,16 @@ def kmeans_fit(
     )
     for _ in range(iterations):
         assigned = assign_cells(vectors, centroids)
-        # Per-dimension means via posexplode + (cell, pos) groupBy, then
-        # reassemble the centroid array ordered by pos. The plan size is
-        # CONSTANT in dim — the per-dimension-column alternative (dim
-        # separate avg aggregates) recompiles an O(dim)-wide codegen stage
+        # Per-dimension floored means via posexplode + (cell, pos) groupBy,
+        # then reassemble the centroid array ordered by pos. The plan size
+        # is CONSTANT in dim — the per-dimension-column alternative (dim
+        # separate aggregates) recompiles an O(dim)-wide codegen stage
         # every iteration, which dominates wall-clock for dim >= 64.
+        # `div` on the non-negative sums == floor (see module docstring).
         means = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.expr("sum(x) div count(1)").alias("m"))
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -126,23 +139,24 @@ def kmeans_fit(
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """argmin cell per vector, Arrow-vectorized: the centroid table is k rows
     BY CONSTRUCTION (the model, not data), so it rides a broadcast variable
-    as a (k, dim) numpy matrix and each corpus Arrow batch scores as one
-    |x|^2 - 2XC^T + |c|^2 matmul. No shuffle — the assignment stays in the
-    scan stage, which is exactly the 100 TB shape (vectorized model
-    application over a corpus scan). np.argmin takes the FIRST min, matching
-    the lowest-cell tie-break of the former min(struct(d, cell)) plan.
+    as a (k, dim) int64 matrix and each corpus Arrow batch scores as one
+    |x|^2 - 2XC^T + |c|^2 matmul — exact int64 arithmetic, no shuffle: the
+    assignment stays in the scan stage, which is exactly the 100 TB shape
+    (vectorized model application over a corpus scan). np.argmin takes the
+    FIRST min, matching the lowest-cell tie-break of the SQL oracle's
+    ROW_NUMBER OVER (ORDER BY d, cell).
 
     (History: a crossJoin(broadcast) + zip_with/aggregate HOF distance was
     measured 3-4x slower — Catalyst higher-order functions evaluate
     interpreted per element; an inlined-literal projection bloated the plan
-    worse. The matmul replaces n*k interpreted array walks with one BLAS
-    call per batch.)"""
+    worse. The matmul replaces n*k interpreted array walks with one
+    vectorized call per batch.)"""
     import numpy as np
     import pandas as pd
 
     cl = centroids.orderBy("cell").collect()
     cells = np.array([r["cell"] for r in cl], dtype=np.int64)
-    cm = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in cl])
+    cm = np.vstack([np.asarray(r["centroid"], dtype=np.int64) for r in cl])
     bc = vectors.sparkSession.sparkContext.broadcast((cells, cm))
 
     def score(batches):
@@ -151,8 +165,8 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
-            d = (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + c_sq
+            X = np.vstack(pdf["vec"].to_numpy()).astype(np.int64)
+            d = (X * X).sum(1, keepdims=True) - 2 * (X @ C.T) + c_sq
             a = d.argmin(1)
             yield pd.DataFrame(
                 {
@@ -164,7 +178,7 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
             )
 
     return vectors.select("vec_id", "vec").mapInPandas(
-        score, "vec_id long, vec array<double>, cell int, d double"
+        score, "vec_id long, vec array<bigint>, cell int, d long"
     )
 
 
@@ -176,8 +190,82 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        F.transform(
+            "embedding",
+            lambda x: (F.round(x.cast("double") * SCALE_Q) + OFFSET_Q).cast("long"),
+        ).alias("vec"),
     )
+
+
+_VECS_SQL = f"""
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {SCALE_Q}) + {OFFSET_Q} AS BIGINT)) AS qe
+  FROM embeddings
+"""
+
+
+def _fit_sql(
+    dim: int = 64,
+    k: int = K_CELLS,
+    iterations: int = ITERATIONS,
+    *,
+    prefix: str = "",
+    vecs_sql: str | None = None,
+) -> str:
+    """The kmeans_fit twin as DuckDB CTE blocks:
+    {prefix}cent0..{prefix}cent{iterations} over {prefix}vecs(vec_id, qe).
+    Callers splice this after WITH and select from {prefix}cent{iterations}.
+    `prefix` lets several independent fits (e.g. the 4 PQ sub-space
+    codebooks in operators/quantization.py) coexist in one statement."""
+    d_expr = (
+        "list_sum(list_transform(range(1, "
+        f"{dim + 1}), j -> (v.qe[j] - c.cq[j]) * (v.qe[j] - c.cq[j])))"
+    )
+    P = prefix
+    blocks = [
+        f"""{P}vecs AS ({vecs_sql if vecs_sql is not None else _VECS_SQL}),
+{P}dims AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+{P}cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, qe AS cq
+  FROM (SELECT * FROM {P}vecs ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        blocks.append(
+            f"""{P}asg{i} AS (
+  SELECT vec_id, qe, cell FROM (
+    SELECT vec_id, qe, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT v.vec_id, v.qe, c.cell, {d_expr} AS d FROM {P}vecs v CROSS JOIN {P}cent{p} c)
+  ) WHERE rn = 1
+),
+{P}cent{i} AS (
+  SELECT c.cell, COALESCE(m.cq, c.cq) AS cq
+  FROM {P}cent{p} c
+  LEFT JOIN (
+    SELECT cell, list(m ORDER BY pos) AS cq FROM (
+      SELECT a.cell, d.pos, CAST(SUM(a.qe[d.pos]) // COUNT(*) AS BIGINT) AS m
+      FROM {P}asg{i} a CROSS JOIN {P}dims d
+      GROUP BY a.cell, d.pos
+    ) GROUP BY cell
+  ) m ON m.cell = c.cell
+)"""
+        )
+    return ",\n".join(blocks)
+
+
+def _final_assign_sql(dim: int = 64) -> str:
+    d_expr = (
+        "list_sum(list_transform(range(1, "
+        f"{dim + 1}), j -> (v.qe[j] - c.cq[j]) * (v.qe[j] - c.cq[j])))"
+    )
+    return f"""asgF AS (
+  SELECT vec_id, qe, cell, d FROM (
+    SELECT vec_id, qe, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT v.vec_id, v.qe, c.cell, {d_expr} AS d FROM vecs v CROSS JOIN cent{ITERATIONS} c)
+  ) WHERE rn = 1
+)"""
 
 
 # The fitted centroid table is deterministic per sf_dir; both gate entries
@@ -193,21 +281,38 @@ def _fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate entry (rows-only): final cell assignment + per-cell sizes."""
+    """Final cell assignment + per-cell sizes and exact integer SSE —
+    value-hash gated against the unrolled-CTE DuckDB twin of the fit."""
     v = _vectors(spark, sf_dir)
     centroids = _fitted(spark, sf_dir)
     assigned = assign_cells(v, centroids)
     return (
         assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vectors"), F.round(F.sum("d"), 4).alias("cell_sse"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("d").cast("long").alias("sse_q"),
+        )
         .orderBy("cell")
+        .select(F.col("cell").cast("long").alias("cell"), "n_vectors", "sse_q")
     )
+
+
+KMEANS_CELLS_ORACLE = f"""
+WITH {_fit_sql()},
+{_final_assign_sql()}
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(d) AS BIGINT) AS sse_q
+FROM asgF
+GROUP BY cell
+ORDER BY cell
+"""
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat search with a LEARNED coarse quantizer, nprobe=1: assign
     corpus and queries to k-means cells, search only the query's cell.
-    Rows-only (depends on float centroids)."""
+    Value-hash gated (integer centroids + integer distances)."""
     v = _vectors(spark, sf_dir)
     centroids = _fitted(spark, sf_dir)
     assigned = assign_cells(v, centroids).select("vec_id", "vec", "cell")
@@ -228,7 +333,36 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_IVF_KMEANS_ORACLE = f"""
+WITH {_fit_sql()},
+{_final_assign_sql()},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(range(1, 65), j -> (q.qe[j] - c.qe[j]) * (q.qe[j] - c.qe[j]))) AS d
+  FROM asgF q JOIN asgF c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 CLUSTERING_QUERIES = [
-    Q("kmeans_cells", kmeans_cells, None, "Lloyd k-means cell build (invariants in pytest)"),
-    Q("ann_ivf_kmeans", ann_ivf_kmeans, None, "IVF search over learned centroids"),
+    Q(
+        "kmeans_cells",
+        kmeans_cells,
+        KMEANS_CELLS_ORACLE,
+        "integer-exact Lloyd k-means cells (unrolled-CTE oracle)",
+    ),
+    Q(
+        "ann_ivf_kmeans",
+        ann_ivf_kmeans,
+        ANN_IVF_KMEANS_ORACLE,
+        "IVF search over learned integer centroids",
+    ),
 ]

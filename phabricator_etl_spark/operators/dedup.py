@@ -460,6 +460,119 @@ WHERE list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) >= {CO
 
 
 # ---------------------------------------------------------------------------
+# Production near-dup variant of the cosine dedup. The gate entry above uses
+# a 0.3 demo threshold and 4-bit bands — correct and cheap at driver SFs,
+# but structurally small-SF-only, for two measured reasons (SCALE_BENCH r5):
+#   1. with 4-bit keys every band has 16 buckets, so bucket occupancy is
+#      n/16 and candidate volume is Theta(n^2) REGARDLESS of data;
+#   2. at cos >= 0.3 on random unit vectors ~0.75% of ALL pairs qualify, so
+#      the OUTPUT itself is Theta(n^2) — no plan can beat its own answer.
+# This variant is the shape you deploy at 100 TB: 16-bit band keys (finer
+# buckets: occupancy n/65536 on random data; a true near-dup at cos >= 0.95
+# differs in at most a few sign bits, so it still collides in >= 1 of the 4
+# bands with good probability — measured recall in tests/test_clustering),
+# an occupancy CAP on over-full buckets (a bucket holding > COS_MAX_BUCKET
+# vectors means that band carries ~no information there — same reasoning,
+# and same plan shape, as the MAX_SHINGLE_DF posting cap), and a 0.95
+# threshold where output volume is proportional to true duplication, not
+# corpus size squared. The cap is part of the SEMANTICS and mirrored in the
+# oracle, so Spark and DuckDB agree at every SF by construction.
+# ---------------------------------------------------------------------------
+
+COS_STRICT_BITS = 16
+COS_STRICT_BANDS = 4  # 4 disjoint 16-dim slices cover all 64 dims
+COS_MAX_BUCKET = 500  # occupancy cap: over-full sign buckets are dropped
+COSINE_STRICT_X1E8 = 95_000_000  # cos >= 0.95 at scale 1e8
+
+
+def _strict_bucket(qcol: F.Column, band: int) -> F.Column:
+    bucket = F.lit(0)
+    for j in range(COS_STRICT_BITS):
+        dim = band * COS_STRICT_BITS + j + 1
+        bucket = bucket + F.when(F.element_at(qcol, dim) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    q = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _quantize(F.col("embedding")).alias("qe"),
+    ).localCheckpoint(eager=True)
+    buckets = F.array(*[_strict_bucket(F.col("qe"), t) for t in range(COS_STRICT_BANDS)])
+    long = q.select("vec_id", F.posexplode(buckets).alias("band", "bucket"))
+    # occupancy cap BEFORE the self-join: bounded per-key fan-out no matter
+    # how the data clusters (the skew backstop AQE can't provide for a
+    # legitimately hot logical key)
+    occ = (
+        long.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= COS_MAX_BUCKET)
+        .select("band", "bucket")
+    )
+    kept = long.join(occ, ["band", "bucket"])
+    cand = (
+        kept.alias("x")
+        .join(kept.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"))
+    paired = cand.join(qa, "a").join(qb, "b")
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.vstack(pdf["qa"].to_numpy()).astype(np.int64)
+            vb = np.vstack(pdf["qb"].to_numpy()).astype(np.int64)
+            d = np.einsum("ij,ij->i", va, vb)
+            out = pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "dot_q": d})
+            yield out[out["dot_q"] >= COSINE_STRICT_X1E8]
+
+    return paired.mapInPandas(_score, "a long, b long, dot_q long")
+
+
+def _strict_band_sql(t: int) -> str:
+    return " + ".join(
+        f"CASE WHEN qe[{t * COS_STRICT_BITS + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(COS_STRICT_BITS)
+    )
+
+
+_STRICT_LONG_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, qe, {t} AS band, {_strict_band_sql(t)} AS bucket FROM q"
+    for t in range(COS_STRICT_BANDS)
+)
+
+DEDUP_NEARDUP_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_SCALE}) AS BIGINT)) AS qe
+  FROM embeddings
+), long AS ({_STRICT_LONG_SQL}),
+occ AS (
+  SELECT band, bucket FROM long GROUP BY band, bucket HAVING COUNT(*) <= {COS_MAX_BUCKET}
+), kept AS (
+  SELECT l.vec_id, l.qe, l.band, l.bucket FROM long l JOIN occ USING (band, bucket)
+),
+cands AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, x.qe AS qa, y.qe AS qb
+  FROM kept x JOIN kept y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT a, b,
+       CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS BIGINT) AS dot_q
+FROM cands
+WHERE list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) >= {COSINE_STRICT_X1E8}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Asymmetric containment: |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
 # "is A quoted inside B" measure (Broder's containment, the public resemblance
 # /containment pair). Jaccard misses a short doc embedded in a long one (the
@@ -569,6 +682,12 @@ DEDUP_QUERIES = [
     Q("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash + LSH banding"),
     Q("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "16-bit SimHash signatures"),
     Q("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_COSINE_ORACLE, "quantized cosine near-dup"),
+    Q(
+        "dedup_embedding_neardup",
+        dedup_embedding_neardup,
+        DEDUP_NEARDUP_ORACLE,
+        "production cosine near-dup (16-bit bands, occupancy cap, cos>=0.95)",
+    ),
     Q("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "directed shingle containment (quote/boilerplate inclusion)"),
     Q("corpus_novelty_rate", corpus_novelty_rate, NOVELTY_ORACLE, "per-doc share of corpus-unique shingles (shared posting index)"),
 ]

@@ -64,7 +64,9 @@ def filter_changed_revisions(src: PhabSources, last_run: int | None, now: int) -
     return PhabSources(**{**src.__dict__, "revision": filtered})
 
 
-def expand_by_stack_component(src: PhabSources, changed: PhabSources) -> PhabSources:
+def expand_by_stack_component(
+    src: PhabSources, changed: PhabSources, comp: DataFrame | None = None
+) -> PhabSources:
     """Graph-aware invalidation — a deliberate IMPROVEMENT on the reference.
 
     The reference recomputes stack_size only for CHANGED revisions, so an
@@ -73,8 +75,11 @@ def expand_by_stack_component(src: PhabSources, changed: PhabSources) -> PhabSou
     engine widens the changed set to every revision sharing a same-bug
     dependency component with a changed one, so stack_size is always
     current and incremental == full recompute. The expansion is one join
-    against the CC labels already needed for stack_size — free at scale."""
-    comp = P.stack_components(src)
+    against the CC labels already needed for stack_size — free at scale.
+    Pass `comp` to reuse an already-materialized component table (the
+    runner shares ONE CC pass between this expansion and stack_sizes)."""
+    if comp is None:
+        comp = P.stack_components(src)
     changed_phids = changed.revision.select(F.col("phid").alias("rev_phid"))
     hot = (
         comp.join(changed_phids, "rev_phid")
@@ -126,14 +131,20 @@ def run_incremental(
     revisions ym-partitioned per SURVEY §4.4)."""
     last_run = None if full else read_watermark(spark, dest_dir)
     world = filter_changed_revisions(src, last_run, now)
-    world = expand_by_stack_component(src, world)
+    # ONE materialized CC pass feeds both the graph-aware invalidation and
+    # stack_sizes (previously two independent fixpoints per run — the
+    # single biggest cost in the e2e profile). This is the staged-artifact
+    # shape a production run uses: components are computed once per batch
+    # and consumed by every downstream step.
+    comp = P.stack_components(src).localCheckpoint(eager=True)
+    world = expand_by_stack_component(src, world, comp=comp)
 
     users = P.dim_users(world)
     projects = P.dim_projects(world)
     repos = P.dim_repositories(world)
     # stack sizes come from the FULL graph (the filtered world can't see
     # unchanged stack members — stats.py:1117-1119 queries all_revisions)
-    full_stacks = P.stack_sizes(src)
+    full_stacks = P.stack_sizes_from_components(src, comp)
     built = {
         "revisions": P.build_revisions(world, repos, projects, stacks=full_stacks),
         "diffs": P.build_diffs(world, users),

@@ -301,7 +301,12 @@ def stack_sizes(src: PhabSources) -> DataFrame:
     restricted to same-bug endpoints, replacing the reference's per-revision
     BFS (stats.py:310-357). Returns (rev_phid, stack_size) for every
     revision; no-bug or isolated revisions get 1."""
-    comp = stack_components(src)
+    return stack_sizes_from_components(src, stack_components(src))
+
+
+def stack_sizes_from_components(src: PhabSources, comp: DataFrame) -> DataFrame:
+    """stack_sizes over an already-computed (rev_phid, component) table —
+    lets callers share one CC pass across consumers."""
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     per_rev = comp.join(sizes, "component").select("rev_phid", F.col("sz"))
     return (

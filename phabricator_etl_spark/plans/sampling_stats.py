@@ -237,30 +237,150 @@ ORDER BY 1
 
 
 # --------------------------------------------------------------------------
-# Approximate aggregates — rows-only gates (sketches are engine-specific);
-# accuracy vs exact is pytest-bounded in tests/test_sampling_stats.py.
+# Approximate aggregates with DETERMINISTIC sketches (VERDICT r4 #3: these
+# were the rows-only gates; Spark's native HLL/KLL sketches are
+# engine-specific, so cross-engine value-hash parity needs sketches whose
+# math both engines can compute bit-identically).
+#
+# approx_distinct_sketch: KMV (k-minimum-values / bottom-k) estimator
+# (Bar-Yossef et al., the public bottom-k sketch line): hash every key with
+# the repo's 60-bit md5, keep the K smallest DISTINCT hash values per
+# group; with U_K the Kth smallest, est = floor((K-1) * 2^60 / U_K) — all
+# integer arithmetic, identical in Spark and DuckDB. Groups with fewer
+# than K distinct keys report the exact count (the sketch is exact below
+# capacity). Spark's native approx_count_distinct stays demonstrated (and
+# accuracy-bounded against this sketch and the exact count) in
+# tests/test_sampling_stats.py.
+#
+# approx_quantiles_price: quantile estimate over a DETERMINISTIC 20%
+# content-hash Bernoulli sample — the sample membership (md5 % 100 < 20)
+# and the rank-pick (sorted sample, index 1+floor((m-1)*q)) are exact
+# integer operations, so both engines produce the same cents values.
+# Native percentile_approx likewise remains pytest-covered.
+#
+# Scale notes: KMV per-group state is K values (a production deployment
+# packages the "keep K smallest" as a bounded-memory UDAF; here the
+# distinct-then-rank formulation expresses the same math relationally —
+# the distinct dedup is one shuffle keyed by (group, hash), and the rank
+# window sorts only DISTINCT hashes per group). The quantile sample is
+# ~20% of one integer column; rank-pick sorts the sample only.
 # --------------------------------------------------------------------------
+
+KMV_K = 64
+# 52-bit hash domain: md5_long >> 8 keeps hash order while making the
+# estimator numerator (K-1) * 2^52 ~= 2.8e17 fit comfortably in int64
+# ((K-1) * 2^60 would overflow)
+KMV_DOMAIN = 1 << 52
+QUANT_SAMPLE_PCT = 20
+
 
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    hashed = li.select(
+        "l_returnflag",
+        F.floor(md5_long(F.col("l_partkey").cast("string")) / 256).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    per_group = (
+        ranked.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("u_k"),
+        )
+    )
+    est = F.when(
+        F.col("n_distinct") >= KMV_K,
+        F.floor(F.lit((KMV_K - 1) * KMV_DOMAIN) / F.col("u_k")),
+    ).otherwise(F.col("n_distinct"))
+    return (
+        per_group.select(
+            "l_returnflag",
+            est.cast("long").alias("kmv_estimate"),
+            F.col("n_distinct").cast("long").alias("exact_distinct"),
         )
         .orderBy("l_returnflag")
     )
 
 
+APPROX_DISTINCT_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag,
+         CAST(FLOOR({md5_long_sql("CAST(l_partkey AS VARCHAR)")} / 256) AS BIGINT) AS h
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+  FROM hashed
+), per_group AS (
+  SELECT l_returnflag, COUNT(*) AS n_distinct,
+         MAX(CASE WHEN rk = {KMV_K} THEN h END) AS u_k
+  FROM ranked
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(CASE WHEN n_distinct >= {KMV_K}
+                 THEN FLOOR({(KMV_K - 1) * (1 << 52)} / u_k)
+                 ELSE n_distinct END AS BIGINT) AS kmv_estimate,
+       CAST(n_distinct AS BIGINT) AS exact_distinct
+FROM per_group
+ORDER BY l_returnflag
+"""
+
+
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return o.select(cents.alias("cents")).agg(
-        F.percentile_approx("cents", [0.1, 0.5, 0.9], 10_000).alias("p10_p50_p90"),
-        F.min("cents").alias("min_cents"),
-        F.max("cents").alias("max_cents"),
+    sample = o.select(cents.alias("cents"), F.col("o_orderkey")).filter(
+        md5_long(F.col("o_orderkey").cast("string")) % 100 < QUANT_SAMPLE_PCT
     )
+    w = Window.orderBy("cents", "o_orderkey")
+    ranked = sample.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rk") == 1 + F.floor((F.col("m") - 1) * F.lit(q) / 100),
+                F.col("cents"),
+            )
+        ).alias(name)
+        for q, name in [(10, "p10_cents"), (50, "p50_cents"), (90, "p90_cents")]
+    ]
+    full = _t(spark, sf_dir, "orders").select(cents.alias("cents")).agg(
+        F.min("cents").alias("min_cents"), F.max("cents").alias("max_cents")
+    )
+    return (
+        ranked.agg(*picks, F.max("m").cast("long").alias("sample_size"))
+        .crossJoin(F.broadcast(full))
+    )
+
+
+APPROX_QUANTILES_ORACLE = f"""
+WITH sample AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+  WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)")} % 100 < {QUANT_SAMPLE_PCT}
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk,
+         COUNT(*) OVER () AS m
+  FROM sample
+), fullr AS (
+  SELECT MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS min_cents,
+         MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
+  FROM orders
+)
+SELECT MAX(CASE WHEN rk = 1 + FLOOR((m - 1) * 10 / 100) THEN cents END) AS p10_cents,
+       MAX(CASE WHEN rk = 1 + FLOOR((m - 1) * 50 / 100) THEN cents END) AS p50_cents,
+       MAX(CASE WHEN rk = 1 + FLOOR((m - 1) * 90 / 100) THEN cents END) AS p90_cents,
+       CAST(MAX(m) AS BIGINT) AS sample_size,
+       MAX(fullr.min_cents) AS min_cents,
+       MAX(fullr.max_cents) AS max_cents
+FROM ranked CROSS JOIN fullr
+"""
 
 
 # --------------------------------------------------------------------------
@@ -450,8 +570,8 @@ SAMPLING_STATS_QUERIES = [
     Q("range_join_attribution", range_join_attribution, RANGE_JOIN_ORACLE, "banded range join vs inequality oracle"),
     Q("join_interval_overlap", join_interval_overlap, INTERVAL_OVERLAP_ORACLE, "interval-overlap self-join via 3-bucket banding vs inequality oracle"),
     Q("histogram_order_totals", histogram_order_totals, HISTOGRAM_ORACLE, "fixed-width histogram"),
-    Q("approx_distinct_sketch", approx_distinct_sketch, None, "HLL distinct (pytest-bounded)"),
-    Q("approx_quantiles_price", approx_quantiles_price, None, "quantile sketch (pytest-bounded)"),
+    Q("approx_distinct_sketch", approx_distinct_sketch, APPROX_DISTINCT_ORACLE, "KMV bottom-k distinct estimator (integer-exact cross-engine)"),
+    Q("approx_quantiles_price", approx_quantiles_price, APPROX_QUANTILES_ORACLE, "deterministic-sample rank-pick quantiles"),
     Q(
         "sample_temperature_lang",
         sample_temperature_lang,

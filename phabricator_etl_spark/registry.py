@@ -195,6 +195,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.etl_e2e import ETL_E2E_QUERIES
+
+        queries.extend(ETL_E2E_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .plans.incremental import INCREMENTAL_QUERIES
 
         queries.extend(INCREMENTAL_QUERIES)

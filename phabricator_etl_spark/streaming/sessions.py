@@ -169,8 +169,14 @@ def _count_events(
 
 
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState: the custom-stateful escape hatch. Rows-only
-    check (per-batch emission is not a SQL-expressible shape)."""
+    """applyInPandasWithState: the custom-stateful escape hatch.
+
+    The emitted running total is MONOTONE per user, so the max over the
+    per-batch emissions equals the final state no matter how the input was
+    micro-batched — the same emission-fixpoint argument as the
+    transformWithStateInPandas sibling below. That turns the former
+    rows-only check into a full value-hash oracle: the batch GROUP BY
+    count is exactly that fixpoint (VERDICT r4 "next round" #3)."""
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
     counted = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).applyInPandasWithState(
         _count_events,
@@ -179,7 +185,21 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_stream_to_table(spark, counted, "update")
+    emitted = _run_stream_to_table(spark, counted, "update")
+    return (
+        emitted.groupBy("user_id")
+        .agg(F.max("events_seen").cast("long").alias("events_seen"))
+        .orderBy("user_id")
+    )
+
+
+STATEFUL_COUNTER_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS events_seen
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +310,12 @@ ORDER BY user_id
 SESSION_QUERIES = [
     Q("batch_session_window", batch_session_window, SESSION_ORACLE, "session windows, batch mode"),
     Q("stream_session_window", stream_session_window, SESSION_ORACLE, "session windows, streaming engine"),
-    Q("stream_stateful_counter", stream_stateful_counter, None, "applyInPandasWithState custom operator"),
+    Q(
+        "stream_stateful_counter",
+        stream_stateful_counter,
+        STATEFUL_COUNTER_ORACLE,
+        "applyInPandasWithState custom operator (emission-fixpoint oracle)",
+    ),
     Q(
         "batch_session_dynamic_gap",
         batch_session_dynamic_gap,
