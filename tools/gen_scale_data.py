@@ -201,7 +201,13 @@ def gen_events(n: int, sf: float, skew: bool) -> pa.Table:
 
 def gen_documents(n: int, sf: float, skew: bool) -> pa.Table:
     r = _rng("documents", sf, skew)
-    vocab = np.array(VOCAB)
+    # Vocabulary grows with corpus size (Heaps' law): the driver's 29-token
+    # vocab is fine at <=5k docs, but frozen at 50k+ docs EVERY 3-gram
+    # shingle's document frequency crosses the dedup posting cap and the
+    # corpus degenerates (all shingles = stopwords). Synthetic tail tokens
+    # keep shingle df realistic while the 29 base words stay the head.
+    tail = [f"tok{i:04d}" for i in range(max(0, n // 50 - len(VOCAB)))]
+    vocab = np.array(VOCAB + tail)
     # Zipf-ish token frequencies like the driver corpus
     w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.8
     w /= w.sum()
@@ -240,10 +246,20 @@ def gen_documents(n: int, sf: float, skew: bool) -> pa.Table:
 
 
 def gen_embeddings(n: int, sf: float, skew: bool) -> pa.Table:
+    """Random unit vectors with non-geometric labels — matching the driver's
+    measured distribution (same-label mean cosine == cross-label == 0; see
+    operators/similarity.py ann_ivf_probe1 docstring) — plus ~2% injected
+    true near-duplicates (copy + small noise, cos ~0.98) so near-dup
+    dedup at production thresholds has real pairs to find at every SF."""
     r = _rng("embeddings", sf, skew)
     labels = r.integers(0, N_LABELS, n).astype(np.int32)
-    centroids = r.normal(0.0, 1.0, (N_LABELS, EMB_DIM))
-    vecs = centroids[labels] + r.normal(0.0, 0.35, (n, EMB_DIM))
+    vecs = r.normal(0.0, 1.0, (n, EMB_DIM))
+    n_dup = n // 50
+    dup_to = r.integers(0, n, n_dup)
+    dup_from = r.integers(0, n, n_dup)
+    # base vectors have norm ~sqrt(EMB_DIM)=8, so sigma=0.2 noise gives
+    # relative perturbation ~0.2 => cosine ~1/sqrt(1+0.04) ~ 0.98
+    vecs[dup_to] = vecs[dup_from] + r.normal(0.0, 0.2, (n_dup, EMB_DIM))
     vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
     flat = pa.array(vecs.reshape(-1), pa.float32())
     embedding = pa.FixedSizeListArray.from_arrays(flat, EMB_DIM).cast(pa.list_(pa.float32()))
