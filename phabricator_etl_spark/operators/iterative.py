@@ -342,11 +342,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks — iteration count is a fixed plan constant, so no recursion is
     needed. Mass conservation/convergence invariants stay pytest-checked."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    a = c.withColumnRenamed("c_custkey", "src")
-    b = c.select(F.col("c_custkey").alias("dst"), F.col("c_nationkey").alias("nk2"))
+    # src + dst ≡ 0 (mod 37) ⇔ dst ≡ -src (mod 37): the modular predicate
+    # becomes an EQUI-join on (nation, residue class) — candidate rows =
+    # actual edges, never the n²-per-nation pair space (the same residue
+    # bucketing as triangles._canonical_edges; the naive post-filter join
+    # generates ~8·10⁹ candidates at sf3 and OOMs the executor).
+    a = c.select(
+        F.col("c_custkey").alias("src"),
+        F.col("c_nationkey").alias("nk"),
+        ((37 - F.col("c_custkey") % 37) % 37).alias("want"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("dst"),
+        F.col("c_nationkey").alias("nk"),
+        (F.col("c_custkey") % 37).alias("res"),
+    )
     edges = (
-        a.join(b, (a.c_nationkey == b.nk2) & (a.src != b.dst))
-        .filter((F.col("src") + F.col("dst")) % 37 == 0)  # sparse deterministic subset
+        a.join(b, (a.nk == b.nk) & (a.want == b.res))
+        .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
     vertices = c.select(F.col("c_custkey").alias("id"))
@@ -356,18 +369,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
-def _pagerank_oracle() -> str:
-    base = PR_MICRO - PR_MICRO * PR_DAMP_NUM // PR_DAMP_DEN
-    blocks = [
-        f"""
-vertices AS (SELECT c_custkey AS id FROM customer),
-nv AS (SELECT COUNT(*) AS n FROM vertices),
-edges AS (
+def _pagerank_oracle(
+    vertices_sql: str = "SELECT c_custkey AS id FROM customer",
+    edges_sql: str = """
   SELECT x.c_custkey AS src, y.c_custkey AS dst
   FROM customer x JOIN customer y
     ON x.c_nationkey = y.c_nationkey AND x.c_custkey <> y.c_custkey
   WHERE (x.c_custkey + y.c_custkey) % 37 = 0
-),
+""",
+    id_alias: str = "c_custkey",
+) -> str:
+    base = PR_MICRO - PR_MICRO * PR_DAMP_NUM // PR_DAMP_DEN
+    blocks = [
+        f"""
+vertices AS ({vertices_sql}),
+nv AS (SELECT COUNT(*) AS n FROM vertices),
+edges AS ({edges_sql}),
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 dangling AS (SELECT id FROM vertices WHERE id NOT IN (SELECT src FROM deg)),
 pr0 AS (SELECT id, CAST({PR_MICRO} AS BIGINT) AS rank_micro FROM vertices)"""
@@ -395,11 +412,47 @@ pr{i} AS (
         )
     return (
         "WITH " + ",".join(blocks) + f"""
-SELECT CAST(id AS BIGINT) AS c_custkey, rank_micro
+SELECT CAST(id AS BIGINT) AS {id_alias}, rank_micro
 FROM pr{PR_QUERY_ITERATIONS}
-ORDER BY c_custkey
+ORDER BY {id_alias}
 """
     )
+
+
+def graph_pagerank_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over each customer's order chain (the same in-forest as
+    graph_bfs_distance): |E| = |orders| - |customers|, max degree 1.
+
+    This is the CONSTANT-DEGREE scale probe for the distributed PageRank
+    loop — the residue-rule customer graph behind `graph_pagerank` grows
+    average degree linearly with n BY FIXTURE CONSTRUCTION (|E| ~ n²/37·25),
+    so its cost curve measures the synthetic graph, not the operator. On the
+    chain forest |E| grows linearly with data volume, which is what a real
+    100 TB event-successor graph does; tools/scale_bench.py measures this
+    query across sf0.1/1/3. Same exact integer micro-unit arithmetic and
+    unrolled-CTE oracle as graph_pagerank."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chained = o.withColumn("prev", F.lag("o_orderkey").over(w))
+    edges = chained.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    vertices = o.select(F.col("o_orderkey").alias("id"))
+    pr = pagerank(vertices, edges, iterations=PR_QUERY_ITERATIONS)
+    return pr.select(
+        F.col("id").cast("long").alias("o_orderkey"),
+        F.col("rank_micro").cast("long").alias("rank_micro"),
+    ).orderBy("o_orderkey")
+
+
+_CHAIN_VERTICES_SQL = "SELECT o_orderkey AS id FROM orders"
+_CHAIN_EDGES_SQL = """
+  SELECT src, dst FROM (
+    SELECT LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS src,
+           o_orderkey AS dst
+    FROM orders
+  ) WHERE src IS NOT NULL
+"""
 
 
 KCORE_K = 2  # non-empty at every test SF (the residue graph only grows a 3-core at sf>=0.01)
@@ -486,8 +539,79 @@ ORDER BY node
 """
 
 
+_BIPART_OFFSET = 1_000_000_000  # part node ids; keeps the two sides disjoint
+KCORE_BIPARTITE_K = 3
+
+
+def graph_kcore_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peel of the order–part bipartite graph from lineitem.
+
+    The CONSTANT-DEGREE scale probe for the k-core operator (see
+    graph_pagerank_chain for why the residue-rule graph behind `graph_kcore`
+    cannot be one): order degree is bounded by lines-per-order (≤ 7) and
+    average part degree is |lineitem|/|part| — both constant as sf grows, so
+    |E| is linear in data volume. Orders with < 3 distinct parts peel first,
+    parts left under 3 surviving orders follow, and the cascade's fixpoint
+    is the 3-core. Part node ids are offset by _BIPART_OFFSET to keep the
+    sides disjoint in one node-id space."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").cast("long").alias("a"),
+            (F.col("l_partkey").cast("long") + _BIPART_OFFSET).alias("b"),
+        )
+        .distinct()
+    )
+    core = kcore_subgraph(li, KCORE_BIPARTITE_K)
+    return core.orderBy("node")
+
+
+def _kcore_bipartite_oracle() -> str:
+    base_sql = (
+        "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, "
+        f"CAST(l_partkey AS BIGINT) + {_BIPART_OFFSET} AS b FROM lineitem"
+    )
+    deg_subq = (
+        "SELECT node FROM ("
+        "SELECT node, COUNT(*) AS d FROM "
+        "(SELECT a AS node FROM peel UNION ALL SELECT b AS node FROM peel) "
+        f"GROUP BY node) WHERE d >= {KCORE_BIPARTITE_K}"
+    )
+    return f"""
+WITH RECURSIVE base AS ({base_sql}),
+peel(round, a, b) AS (
+  SELECT 0, a, b FROM base
+  UNION ALL
+  SELECT p.round + 1, p.a, p.b
+  FROM peel p
+  WHERE p.round < {_KCORE_MAX_ROUNDS}
+    AND p.a IN ({deg_subq})
+    AND p.b IN ({deg_subq})
+),
+final AS (
+  SELECT a, b FROM peel WHERE round = (SELECT MAX(round) FROM peel)
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM final UNION ALL SELECT b AS node FROM final)
+GROUP BY node
+ORDER BY node
+"""
+
+
 ITERATIVE_QUERIES = [
     Q("graph_bfs_distance", graph_bfs_distance, BFS_ORACLE, "frontier BFS vs closed-form oracle"),
     Q("graph_pagerank", graph_pagerank, _pagerank_oracle(), "integer micro-unit PageRank (unrolled-CTE oracle)"),
     Q("graph_kcore", graph_kcore, _kcore_oracle(), "iterative k-core peeling (round-tagged recursive-CTE oracle)"),
+    Q(
+        "graph_pagerank_chain",
+        graph_pagerank_chain,
+        _pagerank_oracle(_CHAIN_VERTICES_SQL, _CHAIN_EDGES_SQL, "o_orderkey"),
+        "PageRank on the constant-degree order-chain forest (linear-|E| scale probe)",
+    ),
+    Q(
+        "graph_kcore_bipartite",
+        graph_kcore_bipartite,
+        _kcore_bipartite_oracle(),
+        "3-core of the order-part bipartite graph (constant-degree scale probe)",
+    ),
 ]
