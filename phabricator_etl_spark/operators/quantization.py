@@ -53,6 +53,15 @@ from .similarity import _QUANT_SQL
 PQ_M = 4  # sub-spaces
 PQ_K = 16  # codes per sub-space
 PQ_RERANK = 12 * TOP_K  # ADC shortlist size fed to the exact re-rank
+# Codebooks train on a bounded DETERMINISTIC sample (vec_id % stride == 0,
+# stride = ceil(n / cap)): training cost is constant in corpus size — the
+# standard PQ practice (Jegou et al. train on ~100k vectors regardless of
+# index size) and the reason ann_pq_adc scales linearly (encode + ADC scan)
+# instead of dragging 4 full-corpus k-means fits along. At the gate SFs
+# n <= cap so stride == 1 (identical results); the cap also keeps training
+# inside the numpy cutover at every SF — no local/distributed regime change
+# mid-scale-curve. The stride rule is integer-exact in the DuckDB oracle.
+PQ_TRAIN_CAP = 16_384
 
 
 def _subdim(spark: SparkSession, sf_dir: str) -> int:
@@ -74,6 +83,9 @@ def _codebooks(spark: SparkSession, sf_dir: str):
 
         sub = _subdim(spark, sf_dir)
         e = _vectors_shifted(spark, sf_dir)  # quantized + shifted longs
+        stride = (e.count() + PQ_TRAIN_CAP - 1) // PQ_TRAIN_CAP
+        if stride > 1:
+            e = e.filter(F.col("vec_id") % stride == 0)
         books = []
         for m in range(PQ_M):
             subv = e.select("vec_id", F.slice("vec", m * sub + 1, sub).alias("vec"))
@@ -178,7 +190,14 @@ def _pq_oracle(dim: int = 64) -> str:
     from .similarity import _dot_sql
 
     sub = dim // PQ_M
-    parts = [f"uq AS ({_QUANT_SQL})", f"svecs AS ({_SHIFTED_SQL})"]
+    parts = [
+        f"uq AS ({_QUANT_SQL})",
+        f"svecs AS ({_SHIFTED_SQL})",
+        # bounded deterministic training sample (stride rule, see PQ_TRAIN_CAP)
+        "pq_nv AS (SELECT COUNT(*) AS n FROM svecs)",
+        "pq_train AS (SELECT vec_id, qe FROM svecs CROSS JOIN pq_nv "
+        f"WHERE vec_id % GREATEST(1, (n + {PQ_TRAIN_CAP - 1}) // {PQ_TRAIN_CAP}) = 0)",
+    ]
     for m in range(PQ_M):
         lo = m * sub + 1
         hi = (m + 1) * sub
@@ -187,7 +206,7 @@ def _pq_oracle(dim: int = 64) -> str:
                 dim=sub,
                 k=PQ_K,
                 prefix=f"pq{m}_",
-                vecs_sql=f"SELECT vec_id, qe[{lo}:{hi}] AS qe FROM svecs",
+                vecs_sql=f"SELECT vec_id, qe[{lo}:{hi}] AS qe FROM pq_train",
             )
         )
         d_expr = (
@@ -195,11 +214,12 @@ def _pq_oracle(dim: int = 64) -> str:
             "j -> (v.qe[j] - c.cq[j]) * (v.qe[j] - c.cq[j])))"
         )
         parts.append(
-            f"""pq{m}_code AS (
+            f"""pq{m}_all AS (SELECT vec_id, qe[{lo}:{hi}] AS qe FROM svecs),
+pq{m}_code AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
     FROM (SELECT v.vec_id, c.cell, {d_expr} AS d
-          FROM pq{m}_vecs v CROSS JOIN pq{m}_cent{ITERATIONS} c)
+          FROM pq{m}_all v CROSS JOIN pq{m}_cent{ITERATIONS} c)
   ) WHERE rn = 1
 ),
 pq{m}_lut AS (
