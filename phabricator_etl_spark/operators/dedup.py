@@ -35,6 +35,7 @@ _TOKEN_RE_SQL = r"\s+"
 
 NUM_MINHASHES = 8
 LSH_ROWS_PER_BAND = 2  # 4 bands of 2 -> catches jaccard >~ 0.5 pairs
+MINHASH_MAX_BUCKET = 256  # band-bucket occupancy cap (see dedup_minhash_lsh)
 SIMHASH_BITS = 16
 COSINE_SCALE = 10_000  # fixed-point quantization for exact integer dot
 
@@ -248,9 +249,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
     )
+    # Occupancy cap BEFORE the band self-join (same defense as
+    # dedup_embedding_neardup's COS_MAX_BUCKET): min-hashes concentrate on
+    # the globally-commonest shingles, so on a large Zipf corpus a few band
+    # values collect THOUSANDS of documents and the uncapped join goes
+    # quadratic inside them (measured: 9.6 s -> 99.9 s for sf3 -> sf10).
+    # A bucket over the cap is pure noise — membership driven by head
+    # shingles, not similarity; true near-dup pairs still collide in their
+    # other, discriminating bands. Per-key fan-out is bounded by
+    # MINHASH_MAX_BUCKET² regardless of corpus size.
+    occ = (
+        banded.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= MINHASH_MAX_BUCKET)
+        .select("band", "bv")
+    )
+    kept = banded.join(occ, ["band", "bv"])
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bv"])
+        kept.alias("x")
+        .join(kept.alias("y"), ["band", "bv"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
@@ -288,8 +305,12 @@ WITH sig AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          {mh}
   FROM (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents)
-), banded AS (
+), banded0 AS (
 {banded}
+), banded AS (
+  SELECT doc_id, band, bv FROM (
+    SELECT doc_id, band, bv, COUNT(*) OVER (PARTITION BY band, bv) AS occ FROM banded0
+  ) WHERE occ <= {MINHASH_MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM banded x JOIN banded y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id

@@ -87,6 +87,12 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .plans.export import EXPORT_QUERIES
+
+        queries.extend(EXPORT_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .operators.sketches import SKETCH_QUERIES
 
         queries.extend(SKETCH_QUERIES)

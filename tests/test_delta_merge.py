@@ -42,3 +42,67 @@ def test_delta_merge_equals_join_rewrite():
         got = sorted(tuple(r) for r in spark.read.format("delta").load(path).collect())
 
     assert got == expected
+
+
+def _seeded_rows(n: int, salt: int) -> list[tuple[int, str, int]]:
+    # Deterministic pseudo-data shared by the Spark and DuckDB sides: keys
+    # collide across target/staging (updates), some staging keys are new
+    # (inserts), and staging has intra-batch duplicates (dedup_latest input).
+    rows = []
+    for i in range(n):
+        h = (i * 2654435761 + salt) % (2**31)
+        # ts globally unique (i is) so "latest per key" has ONE winner —
+        # dedup_latest's equal-ts behavior is engine-arbitrary by design
+        rows.append((h % 40, f"v{salt}_{h % 97}", (h % 1000) * 100 + i))
+    return rows
+
+
+def test_duckdb_upsert_agrees_with_join_rewrite(spark):
+    """Third independent S5 implementation: DuckDB `INSERT .. ON CONFLICT DO
+    UPDATE` (ANSI MERGE's whole-row-upsert special case, executed by a
+    different engine entirely) must agree with the Spark join-rewrite.
+    Where delta-spark is installed the delta test above makes it a 3-way
+    agreement; here it keeps the S5 seam engine-checked even without it
+    (reference semantics: stats.py:918 ON DUPLICATE KEY UPDATE)."""
+    duckdb = pytest.importorskip("duckdb")
+
+    tgt_rows = _seeded_rows(60, salt=1)
+    # target must be key-unique (it is a destination table)
+    tgt = {k: (k, v, ts) for k, v, ts in dedup_py(tgt_rows)}
+    stg_rows = _seeded_rows(45, salt=2)
+
+    target = spark.createDataFrame(sorted(tgt.values()), "k long, v string, ts long")
+    staging = dedup_latest(
+        spark.createDataFrame(stg_rows, "k long, v string, ts long"), "k", "ts"
+    )
+    got_spark = sorted(tuple(r) for r in merge_upsert(target, staging, "k").collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT PRIMARY KEY, v VARCHAR, ts BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", sorted(tgt.values()))
+    con.execute("CREATE TABLE s(k BIGINT, v VARCHAR, ts BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?,?,?)", stg_rows)
+    # same W2 winner rule as dedup_latest: latest ts, key desc tiebreak is
+    # irrelevant within one key; tiebreak on (v desc) to pin equal-ts dups
+    con.execute(
+        """
+        INSERT INTO t
+        SELECT k, v, ts FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, v DESC) AS rn
+          FROM s
+        ) WHERE rn = 1
+        ON CONFLICT (k) DO UPDATE SET v = excluded.v, ts = excluded.ts
+        """
+    )
+    got_duck = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
+
+    assert got_spark == got_duck
+
+
+def dedup_py(rows: list[tuple[int, str, int]]) -> list[tuple[int, str, int]]:
+    best: dict[int, tuple[int, str, int]] = {}
+    for k, v, ts in rows:
+        cur = best.get(k)
+        if cur is None or (ts, v) > (cur[2], cur[1]):
+            best[k] = (k, v, ts)
+    return sorted(best.values())
