@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..ckpt import CheckpointChain
 from ..query import Q
 from ..session import session_key
 from ..sources.catalog import load_table as _t
@@ -102,11 +103,11 @@ def kmeans_fit(
         probe = vectors.select("vec_id", "vec").limit(local_threshold + 1).toPandas()
         if len(probe) <= local_threshold:
             return _local_kmeans(vectors, probe, k, iterations)
-    centroids = (
+    chain = CheckpointChain()
+    centroids = chain.step(
         vectors.orderBy("vec_id")
         .limit(k)
         .select(F.row_number().over(Window.orderBy("vec_id")).alias("cell"), F.col("vec").alias("centroid"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
         assigned = assign_cells(vectors, centroids)
@@ -128,10 +129,9 @@ def kmeans_fit(
                 ).alias("new_centroid")
             )
         )
-        centroids = (
+        centroids = chain.step(
             centroids.join(means, "cell", "left")
             .select("cell", F.coalesce("new_centroid", "centroid").alias("centroid"))
-            .localCheckpoint(eager=True)
         )
     return centroids
 

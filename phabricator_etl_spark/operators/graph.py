@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import CheckpointChain, tracked_local_checkpoint
+
 
 # Cutover between the driver union-find and the distributed fixpoint, in
 # edges. Cost model: the local path pays one collect (~16 bytes/edge over
@@ -150,19 +152,20 @@ def connected_components(
     # idempotent over them, and the dropDuplicates shuffle costs more than the
     # marginal groupBy work they add. One shuffle (the repartition) + one
     # materialization covers symmetrize + layout.
-    sym = (
+    sym, dispose_sym = tracked_local_checkpoint(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .repartition(parts, "b")
-        .localCheckpoint(eager=True)
     )
     edges.unpersist()
 
-    labels = (
-        vertices.select(F.col("id"), F.col("id").alias("component"))
-        .repartition(parts, "id")
-        .localCheckpoint(eager=True)
+    # Rolling checkpoint: each round's labels checkpoint makes the previous
+    # round's blocks garbage; the chain frees them (15M-row blocks per round
+    # at sf10 — leaving them measured as 52 s -> 161 s GC degradation).
+    chain = CheckpointChain()
+    labels = chain.step(
+        vertices.select(F.col("id"), F.col("id").alias("component")).repartition(parts, "id")
     )
 
     # Convergence detection: labels are elementwise NON-INCREASING (every
@@ -191,13 +194,12 @@ def connected_components(
         # with one pointer jump per round collapses chains geometrically,
         # so rounds ~ O(log diameter) — the large-star/small-star insight.
         ptr = hop.select(F.col("id").alias("p_id"), F.col("component").alias("p_comp"))
-        new_labels = (
+        new_labels = chain.step(
             hop.join(ptr, hop.component == ptr.p_id, "left")
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         if numeric_ids:
             cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
@@ -217,6 +219,9 @@ def connected_components(
             if changed == 0:
                 break
 
+    # the edge layout dies with the loop; the final labels checkpoint (the
+    # return value) stays live — the chain never disposes its last two states
+    dispose_sym()
     return labels
 
 

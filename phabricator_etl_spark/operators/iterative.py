@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..ckpt import CheckpointChain, tracked_local_checkpoint
 from ..query import Q
 from ..sources.catalog import load_table as _t
 
@@ -148,11 +149,16 @@ def pointer_jump_distances(
                 edges.unpersist()
     seeds = seeds.select("id").localCheckpoint(eager=True)
     # Non-root vertices start pointing at their parent, one hop away.
-    ptr = edges.select(
-        F.col("dst").alias("id"),
-        F.col("src").alias("anc"),
-        F.lit(1).cast("long").alias("distance"),
-    ).localCheckpoint(eager=True)
+    # Rolling two-generation checkpoint (see ckpt.py): frees each round's
+    # dead ptr blocks instead of accumulating one n-row block set per round.
+    chain = CheckpointChain()
+    ptr = chain.step(
+        edges.select(
+            F.col("dst").alias("id"),
+            F.col("src").alias("anc"),
+            F.lit(1).cast("long").alias("distance"),
+        )
+    )
     edges.unpersist()
     # distance is elementwise non-decreasing and strictly increases somewhere
     # iff any pointer can still jump, so one scalar sum detects the fixpoint.
@@ -163,14 +169,13 @@ def pointer_jump_distances(
             F.col("anc").alias("j_anc"),
             F.col("distance").alias("j_d"),
         )
-        ptr = (
+        ptr = chain.step(
             ptr.join(j, ptr.anc == j.j_id, "left")
             .select(
                 "id",
                 F.coalesce("j_anc", "anc").alias("anc"),
                 (F.col("distance") + F.coalesce("j_d", F.lit(0))).alias("distance"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = ptr.agg(F.sum("distance")).collect()[0][0] or 0
         if cur_sum == prev_sum:
@@ -286,17 +291,18 @@ def pagerank(
     n = vertices.count()
     base = PR_MICRO - PR_MICRO * PR_DAMP_NUM // PR_DAMP_DEN
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    e, dispose_e = tracked_local_checkpoint(edges.join(out_deg, "src"))
     # The dangling-vertex SET is static across iterations; precompute it once
     # so each round only sums ranks over it.
-    dangling_ids = (
-        vertices.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti")
-        .select("id")
-        .localCheckpoint(eager=True)
+    dangling_ids, dispose_dangling = tracked_local_checkpoint(
+        vertices.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti").select("id")
     )
-    ranks = vertices.select(
-        "id", F.lit(PR_MICRO).cast("long").alias("rank_micro")
-    ).localCheckpoint(eager=True)
+    # Rolling two-generation checkpoint (ckpt.py): each round's ranks make
+    # the round-before-last's blocks garbage — free them.
+    chain = CheckpointChain()
+    ranks = chain.step(
+        vertices.select("id", F.lit(PR_MICRO).cast("long").alias("rank_micro"))
+    )
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.id)
@@ -312,7 +318,7 @@ def pagerank(
         dmass = ranks.join(dangling_ids, "id", "left_semi").agg(
             F.coalesce(F.sum("rank_micro"), F.lit(0)).cast("long").alias("dmass")
         )
-        ranks = (
+        ranks = chain.step(
             vertices.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
@@ -324,8 +330,10 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_micro"),
             )
-            .localCheckpoint(eager=True)
         )
+    # loop-internal tables die with the loop; final ranks (returned) stay live
+    dispose_e()
+    dispose_dangling()
     return ranks
 
 
@@ -470,7 +478,11 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
     probe, same as CC/PageRank here). Returns (node, core_degree) for the
     surviving vertices.
     """
-    e = edges.select("a", "b").localCheckpoint(eager=True)
+    # Two rolling chains (ckpt.py): the surviving edge set and the per-round
+    # peel set each replace themselves every round — free the dead blocks
+    # instead of holding one edge-set copy per peeling round.
+    e_chain, bad_chain = CheckpointChain(), CheckpointChain()
+    e = e_chain.step(edges.select("a", "b"))
     for _ in range(_KCORE_MAX_ROUNDS):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -478,14 +490,16 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        bad = deg.filter(F.col("deg") < k).select("node").localCheckpoint(eager=True)
+        bad = bad_chain.step(deg.filter(F.col("deg") < k).select("node"))
         if bad.count() == 0:
+            # deg (the return plan) reads the final e checkpoint — keep it;
+            # the peel sets are loop-internal
+            bad_chain.dispose_all()
             return deg.select(F.col("node").cast("long"), F.col("deg").cast("long").alias("core_degree"))
-        e = (
+        e = e_chain.step(
             e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
     raise RuntimeError("k-core peeling did not converge")  # pragma: no cover
 

@@ -27,7 +27,21 @@ from pyspark.sql import functions as F
 from ..query import Q
 from ..sources.catalog import load_table as _t
 
-MIN_SUPPORT = 3  # pair must co-occur in >= this many baskets
+MIN_SUPPORT = 3  # absolute floor: pair must co-occur in >= this many baskets
+# Support is RELATIVE above the floor: threshold = max(MIN_SUPPORT,
+# ceil(SUPPORT_NUM * n_baskets / SUPPORT_DEN)) — the standard formulation in
+# association mining (support as a fraction of transactions), and the thing
+# that makes the query scale-stable. A fixed absolute threshold over growing
+# data is a scale bomb twice over: statistically (random 3-fold co-occurrence
+# eventually clears any constant bar) and physically (the sf10 column
+# measured 95.9 s, super-linear, because EVERY item cleared support>=3 so the
+# A-priori prune removed nothing and the distinct-pair hash aggregate grew
+# past memory into spill). ceil() is computed in exact int64
+# ((2*nb + 9999) div 10000) so Spark and DuckDB can't diverge by a float ulp.
+# At the sf0.01 gate, ceil(2*14743/10000) = 3 == the floor: gate hashes
+# unchanged; at sf10 the threshold is 2945 vs a max item support of ~60, so
+# noise baskets prune to nothing and the query stays flat.
+SUPPORT_NUM, SUPPORT_DEN = 2, 10_000  # 0.02% of baskets
 # Skew defense (measured, not hypothetical): per-basket pair generation is
 # quadratic in basket size, so ONE hot basket holding 30% of the rows turns
 # the join into ~1.6e8 pairs from a single key — the skew bench clocked
@@ -59,12 +73,22 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .count() that blocks the driver — same pattern as corpus_heavy_hitters
     # and this query's own oracle (CROSS JOIN n)
     n_baskets = baskets.agg(
-        F.count_distinct("basket").cast("double").alias("nb")
+        F.count_distinct("basket").cast("long").alias("nbl")
+    ).select(
+        F.col("nbl").cast("double").alias("nb"),
+        F.greatest(
+            F.lit(MIN_SUPPORT).cast("long"),
+            ((F.col("nbl") * SUPPORT_NUM + (SUPPORT_DEN - 1)) / SUPPORT_DEN)
+            .cast("long"),  # exact-int ceil(nbl*NUM/DEN)
+        ).alias("minsup"),
     )
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     # A-priori prune: any pair with support >= s has both items with
-    # support >= s — drop infrequent items BEFORE the pair join
-    frequent = item_counts.filter(F.col("c") >= MIN_SUPPORT)
+    # support >= s — drop infrequent items BEFORE the pair join. The
+    # threshold is a broadcast 1-row scalar, same one-job pattern as nb.
+    frequent = item_counts.crossJoin(F.broadcast(n_baskets.select("minsup"))).filter(
+        F.col("c") >= F.col("minsup")
+    ).select("item", "c")
     fb = baskets.join(F.broadcast(frequent.select("item")), "item").select("basket", "item")
     x = fb.select("basket", F.col("item").alias("a"))
     y = fb.select("basket", F.col("item").alias("b"))
@@ -73,7 +97,9 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= MIN_SUPPORT)
+        .crossJoin(F.broadcast(n_baskets.select("minsup")))
+        .filter(F.col("support") >= F.col("minsup"))
+        .drop("minsup")
     )
     ca = F.broadcast(frequent.select(F.col("item").alias("a"), F.col("c").alias("ca")))
     cb = F.broadcast(frequent.select(F.col("item").alias("b"), F.col("c").alias("cb")))
@@ -103,18 +129,22 @@ WITH baskets0 AS (
     SELECT basket, item, COUNT(*) OVER (PARTITION BY basket) AS bsz FROM baskets0
   ) WHERE bsz <= {MAX_BASKET_ITEMS}
 ), n AS (
-  SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS nb FROM baskets
+  SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS nb,
+         GREATEST(CAST({MIN_SUPPORT} AS BIGINT),
+                  (COUNT(DISTINCT basket) * {SUPPORT_NUM} + {SUPPORT_DEN - 1}) // {SUPPORT_DEN}
+         ) AS minsup
+  FROM baskets
 ), ic AS (
   SELECT item, COUNT(*) AS c FROM baskets GROUP BY item
 ), freq AS (
-  SELECT item, c FROM ic WHERE c >= {MIN_SUPPORT}
+  SELECT item, c FROM ic, n WHERE c >= n.minsup
 ), fb AS (
   SELECT b.basket, b.item FROM baskets b JOIN freq USING (item)
 ), pairs AS (
   SELECT x.item AS a, y.item AS b, COUNT(*) AS support
   FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
   GROUP BY 1, 2
-  HAVING COUNT(*) >= {MIN_SUPPORT}
+  HAVING COUNT(*) >= (SELECT minsup FROM n)
 )
 SELECT a, b, CAST(support AS BIGINT) AS support,
        ROUND((n.nb * support) / CAST(fa.c * fb2.c AS DOUBLE), 4) AS lift

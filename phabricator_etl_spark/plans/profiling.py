@@ -1,17 +1,29 @@
 """Data-quality profiling: the one-pass column-profile every warehouse runs
 before trusting a new 100 TB drop.
 
-profile_table_orders computes, for each column of `orders`, in a SINGLE
-aggregation pass over one scan (no per-column re-scans — the classic
-profiling mistake at scale is one job per column):
+profile_table_orders computes, for each column of `orders`:
 
 - n_rows, n_null, null fraction (x10000 integer)
 - n_distinct (exact here; swap approx_count_distinct at 100 TB — noted)
 - min / max rendered as strings (one schema for heterogeneous columns)
 
-The wide 1-row aggregate is then unpivoted to (column, metric-row) long
-form. Numeric renderings are canonicalized (timestamps to UTC strings,
-doubles via integer cents) so both engines print identical text.
+Shape, chosen by measurement: ONE column-pruned aggregation branch PER
+COLUMN, unioned (still a single collect/job — the branches are sibling
+stages of one plan). The tempting alternative — every metric in a single
+wide aggregate — plans all the exact count_distincts through one Expand
+node, which multiplies the 15M-row stream by (k+1) and concentrates every
+column's distinct-value state in ONE hash aggregate: at sf0.1 that wins
+(2.2 s vs 8.1 s, fixed overhead dominates) but at sf10 it falls off a
+memory cliff (66.6 s isolated, 8.6x for a 3.33x data step — spill).
+Per-column branches each read ONLY their column from parquet (columnar
+pruning: total bytes across branches ~ one full-table scan), each
+count_distinct plans as its own Expand-free two-phase distinct aggregate
+with map-side partial state bounded by that column's cardinality, and the
+branches parallelize across the cluster. Measured at sf10 under identical
+isolated conditions: 66.6 -> 0.9 s.
+
+Numeric renderings are canonicalized (timestamps to UTC strings, doubles
+via integer cents) so both engines print identical text.
 """
 
 from __future__ import annotations
@@ -46,34 +58,33 @@ def _render(kind: str, c: F.Column) -> F.Column:
 
 def profile_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    per_col = []
     for col, kind in _PROFILE_COLS:
         c = F.col(col)
-        aggs += [
-            F.count(c).alias(f"{col}__nn"),
-            F.count_distinct(c).alias(f"{col}__nd"),
-            F.min(_render(kind, c)).alias(f"{col}__mn"),
-            F.max(_render(kind, c)).alias(f"{col}__mx"),
-        ]
-    # ONE row after ONE scan+aggregation; materialize it so the six
-    # per-column union branches below don't each replay the scan lineage
-    # (Spark only dedupes identical subplans via ReusedExchange when AQE
-    # happens to cooperate — an eager checkpoint of 1 row is certain).
-    wide = o.agg(*aggs).localCheckpoint(eager=True)
-    per_col = [
-        wide.select(
-            F.lit(col).alias("column"),
-            F.col("n_rows").cast("long").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"{col}__nn")).cast("long").alias("n_null"),
-            F.floor(
-                F.lit(10000) * (F.col("n_rows") - F.col(f"{col}__nn")) / F.col("n_rows")
-            ).cast("long").alias("null_x10000"),
-            F.col(f"{col}__nd").cast("long").alias("n_distinct"),
-            F.col(f"{col}__mn").alias("min_repr"),
-            F.col(f"{col}__mx").alias("max_repr"),
+        # narrow branch: scans ONLY this column (see module docstring for
+        # why per-column beats one wide multi-distinct Expand at scale)
+        branch = (
+            o.select(col)
+            .agg(
+                F.count(F.lit(1)).alias("nr"),
+                F.count(c).alias("nn"),
+                F.count_distinct(c).alias("nd"),
+                F.min(_render(kind, c)).alias("mn"),
+                F.max(_render(kind, c)).alias("mx"),
+            )
+            .select(
+                F.lit(col).alias("column"),
+                F.col("nr").cast("long").alias("n_rows"),
+                (F.col("nr") - F.col("nn")).cast("long").alias("n_null"),
+                F.floor(F.lit(10000) * (F.col("nr") - F.col("nn")) / F.col("nr"))
+                .cast("long")
+                .alias("null_x10000"),
+                F.col("nd").cast("long").alias("n_distinct"),
+                F.col("mn").alias("min_repr"),
+                F.col("mx").alias("max_repr"),
+            )
         )
-        for col, _ in _PROFILE_COLS
-    ]
+        per_col.append(branch)
     out = per_col[0]
     for p in per_col[1:]:
         out = out.unionAll(p)
