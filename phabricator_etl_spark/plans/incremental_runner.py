@@ -138,10 +138,26 @@ def run_incremental(
     # and consumed by every downstream step.
     comp = P.stack_components(src).localCheckpoint(eager=True)
     world = expand_by_stack_component(src, world, comp=comp)
+    # Materialize the INVALIDATION SET once: every one of the eight table
+    # builds hangs off the expanded revision table, and without this each
+    # branch would re-run the CC-label join + distinct that computes it.
+    # The expanded set is the changed subset (small by construction), so
+    # this is cheap to pin and is the staged-artifact shape a production
+    # batch uses — invalidation computed once, consumed by every build.
+    from concurrent.futures import ThreadPoolExecutor
 
-    users = P.dim_users(world)
-    projects = P.dim_projects(world)
-    repos = P.dim_repositories(world)
+    expanded = world
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_rev = pool.submit(lambda: expanded.revision.localCheckpoint(eager=True))
+        # The user/project/repo dims are broadcast-small and shared by up
+        # to five branches each — pin them too so concurrent branches
+        # don't each rebuild the dim scans. All four pins are independent
+        # jobs; submit them together.
+        f_users = pool.submit(lambda: P.dim_users(expanded).localCheckpoint(eager=True))
+        f_projects = pool.submit(lambda: P.dim_projects(expanded).localCheckpoint(eager=True))
+        f_repos = pool.submit(lambda: P.dim_repositories(expanded).localCheckpoint(eager=True))
+        users, projects, repos = f_users.result(), f_projects.result(), f_repos.result()
+        world = PhabSources(**{**expanded.__dict__, "revision": f_rev.result()})
     # stack sizes come from the FULL graph (the filtered world can't see
     # unchanged stack members — stats.py:1117-1119 queries all_revisions)
     full_stacks = P.stack_sizes_from_components(src, comp)
@@ -157,8 +173,7 @@ def run_incremental(
         "project_transactions": P.build_project_transactions(src, P.dim_users(src), P.dim_projects(src)),
     }
 
-    out: dict[str, DataFrame] = {}
-    for name, df in built.items():
+    def _merge_and_write(name: str, df: DataFrame) -> DataFrame:
         key, recency = MERGE_KEYS[name]
         staging = dedup_latest(df, key, recency)
         path = os.path.join(dest_dir, name)
@@ -181,5 +196,17 @@ def run_incremental(
             )
             writer = merged.write.mode("overwrite").partitionBy("ym")
         writer.parquet(path)
-        out[name] = spark.read.parquet(path)
-    return out
+        return spark.read.parquet(path)
+
+    # The eight table branches are independent (distinct dest paths, shared
+    # inputs all read-only) — submit them as CONCURRENT Spark jobs from a
+    # thread pool instead of ~17 serial driver round-trips. On local[32]
+    # this collapses the e2e wall time to the slowest branch; on a real
+    # cluster it overlaps each branch's shuffle/write stages the same way
+    # (SparkSession job submission is thread-safe; FIFO scheduling lets
+    # later jobs use idle slots).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(built)) as pool:
+        futures = {name: pool.submit(_merge_and_write, name, df) for name, df in built.items()}
+        return {name: fut.result() for name, fut in futures.items()}

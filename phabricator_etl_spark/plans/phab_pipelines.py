@@ -283,16 +283,26 @@ def stack_components(src: PhabSources) -> DataFrame:
     endpoints — the global CC pass behind stack_size, exposed separately so
     the incremental runner can do graph-aware invalidation."""
     bug = _bug_ids(src).filter(F.col("bug_id").isNotNull())
-    rb = src.revision.select(F.col("phid")).join(bug, src.revision.phid == bug.rev_phid).select(
-        F.col("phid"), F.col("bug_id")
-    )
-    e = src.diff_edge.filter(F.col("type").isin(phab.DEPENDS_ON, phab.DEPENDED_ON))
-    sb = rb.withColumnsRenamed({"phid": "src", "bug_id": "src_bug"})
-    db = rb.withColumnsRenamed({"phid": "dst", "bug_id": "dst_bug"})
-    same_bug_edges = (
-        e.join(sb, "src").join(db, "dst").filter(F.col("src_bug") == F.col("dst_bug")).select("src", "dst")
-    )
-    comp = connected_components(rb.select(F.col("phid").alias("id")), same_bug_edges)
+    # rb (revision -> bug) feeds BOTH edge endpoints and the vertex set;
+    # without the persist the JSON custom-field parse + join runs once for
+    # the edge probe and again for the vertex collect. Safe to unpersist
+    # immediately after: connected_components returns checkpointed (or
+    # driver-local) labels with no lineage back to rb on either path.
+    rb = (
+        src.revision.select(F.col("phid")).join(bug, src.revision.phid == bug.rev_phid).select(
+            F.col("phid"), F.col("bug_id")
+        )
+    ).persist()
+    try:
+        e = src.diff_edge.filter(F.col("type").isin(phab.DEPENDS_ON, phab.DEPENDED_ON))
+        sb = rb.withColumnsRenamed({"phid": "src", "bug_id": "src_bug"})
+        db = rb.withColumnsRenamed({"phid": "dst", "bug_id": "dst_bug"})
+        same_bug_edges = (
+            e.join(sb, "src").join(db, "dst").filter(F.col("src_bug") == F.col("dst_bug")).select("src", "dst")
+        )
+        comp = connected_components(rb.select(F.col("phid").alias("id")), same_bug_edges)
+    finally:
+        rb.unpersist()
     return comp.select(F.col("id").alias("rev_phid"), "component")
 
 
