@@ -237,6 +237,20 @@ def all_queries() -> list[Q]:
     except ImportError:
         pass
     try:
+        from .query import Q
+        from .sources.jdbc import SRC_JDBC_LIVE_ORACLE, src_jdbc_live
+
+        queries.append(
+            Q(
+                "src_jdbc_live",
+                src_jdbc_live,
+                SRC_JDBC_LIVE_ORACLE,
+                "live JDBC write->partitioned-read round-trip (embedded Derby)",
+            )
+        )
+    except ImportError:
+        pass
+    try:
         from .operators.corpus import CORPUS_QUERIES
 
         queries.extend(CORPUS_QUERIES)

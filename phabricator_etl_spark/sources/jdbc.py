@@ -7,10 +7,15 @@ spark.read.format("jdbc") per table with a declared schema; reflection
 disappears (schemas are code, SURVEY §1.1), and Catalyst pushes filters and
 column pruning down to MySQL via the JDBC source.
 
-No MySQL exists in the test environment, so everything here is pure plan
-construction — unit-tested for option shape (tests/test_jdbc_config.py), and
-swapped for parquet fixtures everywhere else (the reader interface is the
-same DataFrame).
+No MySQL exists in the test environment, so the MySQL layer is pure plan
+construction — unit-tested for option shape (tests/test_jdbc_config.py) and
+exercised against a real server via docker-compose.integration.yml. The
+EXECUTION path, however, is live-tested here through embedded Derby (the
+JDBC database Spark itself ships for its Hive metastore): ``src_jdbc_live``
+seeds a Derby database from parquet via ``df.write.jdbc`` and reads it back
+through the same ``table_reader`` options machinery — real JDBC writes,
+real partitioned range scans, real filter pushdown (the plan shows
+``PushedFilters`` into JDBCRelation), value-hash-gated against DuckDB.
 
 Scale: `partition_column/num_partitions` turn the single-cursor read the
 reference does into N parallel range scans — the difference between a
@@ -124,3 +129,124 @@ def load_phabricator(spark: SparkSession, cfg: JdbcConfig) -> dict[tuple[str, st
             pc = None if t in dims_without_pk else "id"
             out[(suffix, t)] = table_reader(spark, cfg, suffix, t, partition_column=pc).load()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Live JDBC execution path — embedded Derby (ships inside pyspark's own jars)
+# ---------------------------------------------------------------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str, *, create: bool = False) -> str:
+    """Embedded-Derby connection URL rooted at ``db_dir`` (single-JVM — the
+    database lives in-process, no server to stand up)."""
+    return f"jdbc:derby:{db_dir}{';create=true' if create else ''}"
+
+
+def jdbc_write(df: DataFrame, url: str, table: str, *, driver: str = DERBY_DRIVER) -> None:
+    """Real ``df.write.jdbc`` (executors open connections and batch-insert;
+    mode=overwrite drops/recreates the table)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver: str = DERBY_DRIVER,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int = 0,
+    upper_bound: int = 1 << 40,
+) -> DataFrame:
+    """Partitioned JDBC scan with the same option shape as ``reader_options``
+    (range-split on an integer PK into N parallel cursors)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table).option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return r.load()
+
+
+def _derby_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a Derby database with supplier + nation from ``sf_dir`` parquet
+    once per (process, sf) — marker-idempotent like formats._stage."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    base = _os.path.join(
+        _tempfile.gettempdir(), f"jdbc_stage_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    marker = _os.path.join(base, "_STAGED_v1")
+    db_dir = _os.path.join(base, "db")
+    if _os.path.exists(marker):
+        return db_dir
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base, exist_ok=True)
+    url = derby_url(db_dir, create=True)
+    jdbc_write(spark.read.parquet(_os.path.join(sf_dir, "supplier.parquet")), url, "supplier")
+    jdbc_write(spark.read.parquet(_os.path.join(sf_dir, "nation.parquet")), url, "nation")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return db_dir
+
+
+def src_jdbc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 over a LIVE JDBC database: parquet -> Derby via df.write.jdbc,
+    read back as a range-partitioned scan (supplier split on s_suppkey into
+    8 cursors; nation as a single-cursor dim), joined and aggregated. A
+    value-hash match against the parquet-side oracle certifies the whole
+    write->read round-trip, not just option construction. The supplier
+    filter is pushed into the JDBCRelation scan (plan-audited in
+    tests/test_jdbc_live.py)."""
+    from pyspark.sql import functions as F
+
+    db_dir = _derby_stage(spark, sf_dir)
+    url = derby_url(db_dir)
+    # exact bounds from the (already-local) parquet footer stats keep the 8
+    # range cursors balanced — production would run the same MIN/MAX probe
+    lo, hi = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/supplier.parquet")
+        .agg(F.min("s_suppkey"), F.max("s_suppkey"))
+        .collect()[0]
+    )
+    supplier = jdbc_read(
+        spark, url, "supplier",
+        partition_column="s_suppkey", num_partitions=8,
+        lower_bound=int(lo), upper_bound=int(hi) + 1,
+    ).filter(F.col("s_acctbal") >= 0)
+    nation = jdbc_read(spark, url, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SRC_JDBC_LIVE_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal >= 0
+GROUP BY n_name
+ORDER BY n_name
+"""
