@@ -138,6 +138,18 @@ def load_phabricator(spark: SparkSession, cfg: JdbcConfig) -> dict[tuple[str, st
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
+def _quiet_derby(spark: SparkSession) -> None:
+    """Point Derby's engine log at the temp dir (it defaults to ./derby.log
+    in the driver CWD). Derby reads the property at engine boot — the first
+    connection — so setting it per call is an idempotent no-op afterwards."""
+    import os as _os
+    import tempfile as _tempfile
+
+    spark._jvm.System.setProperty(
+        "derby.stream.error.file", _os.path.join(_tempfile.gettempdir(), "derby.log")
+    )
+
+
 def derby_url(db_dir: str, *, create: bool = False) -> str:
     """Embedded-Derby connection URL rooted at ``db_dir`` (single-JVM — the
     database lives in-process, no server to stand up)."""
@@ -147,6 +159,8 @@ def derby_url(db_dir: str, *, create: bool = False) -> str:
 def jdbc_write(df: DataFrame, url: str, table: str, *, driver: str = DERBY_DRIVER) -> None:
     """Real ``df.write.jdbc`` (executors open connections and batch-insert;
     mode=overwrite drops/recreates the table)."""
+    if driver == DERBY_DRIVER:
+        _quiet_derby(df.sparkSession)
     (
         df.write.format("jdbc")
         .option("url", url)
@@ -170,6 +184,8 @@ def jdbc_read(
 ) -> DataFrame:
     """Partitioned JDBC scan with the same option shape as ``reader_options``
     (range-split on an integer PK into N parallel cursors)."""
+    if driver == DERBY_DRIVER:
+        _quiet_derby(spark)
     r = spark.read.format("jdbc").option("url", url).option("dbtable", table).option("driver", driver)
     if partition_column is not None:
         r = (
