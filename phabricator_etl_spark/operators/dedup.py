@@ -226,11 +226,12 @@ def _minhash_cols() -> list[F.Column]:
     ]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, mh0..mhN) signature table — the expensive seeded
+    array_min passes run once; every consumer (banding explode, both verify
+    sides, the incremental store/batch split) reads the checkpointed rows."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    # cache: the signature table feeds the banding explode AND both sides of
-    # the verify join; the seeded array_min passes are the expensive part
-    sig = (
+    return (
         d.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.transform(_shingles(), lambda s: md5_long(s) % F.lit(MOD30)).alias("hs"),
@@ -238,6 +239,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *_minhash_cols())
         .localCheckpoint(eager=True)
     )
+
+
+def _band_cols() -> list[F.Column]:
+    """(band, bv) structs: each band folds its LSH_ROWS_PER_BAND minhashes
+    into one 40-bit value with a 31x polynomial roll."""
     n_bands = NUM_MINHASHES // LSH_ROWS_PER_BAND
     band_cols = []
     for bi in range(n_bands):
@@ -246,9 +252,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in parts[1:]:
             bv = (bv * F.lit(31) + p) % F.lit(1 << 40)
         band_cols.append(F.struct(F.lit(bi).alias("band"), bv.alias("bv")))
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    return band_cols
+
+
+def _banded(sig: DataFrame) -> DataFrame:
+    return sig.select("doc_id", F.explode(F.array(*_band_cols())).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig(spark, sf_dir)
+    banded = _banded(sig)
     # Occupancy cap BEFORE the band self-join (same defense as
     # dedup_embedding_neardup's COS_MAX_BUCKET): min-hashes concentrate on
     # the globally-commonest shingles, so on a large Zipf corpus a few band
@@ -322,6 +337,160 @@ WHERE ({agree}) * 2 >= {NUM_MINHASHES}
 
 
 DEDUP_MINHASH_ORACLE = _minhash_lsh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup against a persisted signature store: the
+# production shape for a training pipeline that ingests batches continuously.
+# The historical corpus is NEVER re-scanned — its (band, bv) index is the
+# state table (here: the doc_id%10<7 split, materialized; in production a
+# parquet/Delta table keyed by (band, bv)). A new batch is shingled, banded,
+# and equi-joined against that index (work O(batch), independent of corpus
+# size given the occupancy cap) plus against itself for intra-batch dups.
+# Complements corpus_incremental_new_docs, which is the EXACT-hash version
+# of the same protocol.
+# ---------------------------------------------------------------------------
+
+INCR_STORE_MOD, INCR_STORE_CUT = 10, 7  # store = doc_id % 10 < 7 (as exact-incr)
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig(spark, sf_dir)
+    banded = _banded(sig)
+    is_store = (F.col("doc_id") % INCR_STORE_MOD) < INCR_STORE_CUT
+    # store-side index with bucket-occupancy hygiene (state-table analog of
+    # dedup_minhash_lsh's cap: a bucket the head shingles fill is noise)
+    store_b = banded.filter(is_store)
+    store_occ = (
+        store_b.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= MINHASH_MAX_BUCKET)
+        .select("band", "bv")
+    )
+    store_idx = store_b.join(store_occ, ["band", "bv"])
+    batch_b = banded.filter(~is_store)
+    batch_occ = (
+        batch_b.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= MINHASH_MAX_BUCKET)
+        .select("band", "bv")
+    )
+    batch_kept = batch_b.join(batch_occ, ["band", "bv"])
+
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_MINHASHES)
+    )
+    siga = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_MINHASHES)])
+    sigb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_MINHASHES)])
+
+    # cross-generation probe: batch bands against the store index (id-only
+    # candidates; signatures join back once per side for the verify)
+    store_cand = (
+        batch_b.alias("x")
+        .join(store_idx.alias("s"), ["band", "bv"])
+        .select(F.col("x.doc_id").alias("a"), F.col("s.doc_id").alias("b"))
+        .distinct()
+    )
+    store_hits = (
+        store_cand.join(siga, "a").join(sigb, "b")
+        .filter(agree * 2 >= NUM_MINHASHES)
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("nsm"))
+    )
+    # intra-batch near-dups: a doc is a dup only of an EARLIER (smaller-id)
+    # batch doc — the same canonical rule as the exact-hash incremental pass
+    batch_cand = (
+        batch_kept.alias("x")
+        .join(batch_kept.alias("y"), ["band", "bv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    batch_hits = (
+        batch_cand.join(siga, "a").join(sigb, "b")
+        .filter(agree * 2 >= NUM_MINHASHES)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nbp"))
+    )
+    batch_docs = sig.filter(~is_store).select("doc_id")
+    return (
+        batch_docs
+        .join(store_hits.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .join(batch_hits.withColumnRenamed("b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nsm"), F.lit(0)).cast("long").alias("n_store_matches"),
+            F.coalesce(F.col("nbp"), F.lit(0)).cast("long").alias("n_batch_prior"),
+            F.when(F.coalesce(F.col("nsm"), F.lit(0)) > 0, F.lit("neardup_of_store"))
+            .when(F.coalesce(F.col("nbp"), F.lit(0)) > 0, F.lit("neardup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def _incremental_minhash_oracle() -> str:
+    seeds = hash_seeds(NUM_MINHASHES)
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * ({md5_long_sql('s')} % {MOD30}) + {b}) % {MERSENNE31})) AS mh{i}"
+        for i, (a, b) in enumerate(seeds)
+    )
+    n_bands = NUM_MINHASHES // LSH_ROWS_PER_BAND
+    band_rows = []
+    for bi in range(n_bands):
+        parts = [f"mh{bi * LSH_ROWS_PER_BAND + j}" for j in range(LSH_ROWS_PER_BAND)]
+        bv = parts[0]
+        for p in parts[1:]:
+            bv = f"(({bv}) * 31 + {p}) % {1 << 40}"
+        band_rows.append(f"SELECT doc_id, {bi} AS band, {bv} AS bv FROM sig")
+    banded = "\nUNION ALL\n".join(band_rows)
+    agree = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASHES))
+    return f"""
+WITH sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {mh}
+  FROM (SELECT doc_id, {_shingles_sql()} AS shingles FROM documents)
+), banded AS (
+{banded}
+), store_idx AS (
+  SELECT doc_id, band, bv FROM (
+    SELECT doc_id, band, bv, COUNT(*) OVER (PARTITION BY band, bv) AS occ
+    FROM banded WHERE doc_id % {INCR_STORE_MOD} < {INCR_STORE_CUT}
+  ) WHERE occ <= {MINHASH_MAX_BUCKET}
+), batch_b AS (
+  SELECT doc_id, band, bv FROM banded WHERE doc_id % {INCR_STORE_MOD} >= {INCR_STORE_CUT}
+), batch_kept AS (
+  SELECT doc_id, band, bv FROM (
+    SELECT doc_id, band, bv, COUNT(*) OVER (PARTITION BY band, bv) AS occ FROM batch_b
+  ) WHERE occ <= {MINHASH_MAX_BUCKET}
+), store_hits AS (
+  SELECT a, COUNT(*) AS nsm FROM (
+    SELECT DISTINCT x.doc_id AS a, s.doc_id AS b
+    FROM batch_b x JOIN store_idx s ON x.band = s.band AND x.bv = s.bv
+  ) JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+  WHERE ({agree}) * 2 >= {NUM_MINHASHES}
+  GROUP BY a
+), batch_hits AS (
+  SELECT b, COUNT(*) AS nbp FROM (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM batch_kept x JOIN batch_kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+  ) JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+  WHERE ({agree}) * 2 >= {NUM_MINHASHES}
+  GROUP BY b
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sh.nsm, 0) AS BIGINT) AS n_store_matches,
+       CAST(COALESCE(bh.nbp, 0) AS BIGINT) AS n_batch_prior,
+       CASE WHEN COALESCE(sh.nsm, 0) > 0 THEN 'neardup_of_store'
+            WHEN COALESCE(bh.nbp, 0) > 0 THEN 'neardup_in_batch'
+            ELSE 'new' END AS status
+FROM (SELECT doc_id FROM sig WHERE doc_id % {INCR_STORE_MOD} >= {INCR_STORE_CUT}) d
+LEFT JOIN store_hits sh ON sh.a = d.doc_id
+LEFT JOIN batch_hits bh ON bh.b = d.doc_id
+"""
+
+
+DEDUP_INCR_MINHASH_ORACLE = _incremental_minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -701,6 +870,12 @@ DEDUP_QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
     Q("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "inverted-index n-gram Jaccard"),
     Q("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash + LSH banding"),
+    Q(
+        "dedup_incremental_minhash",
+        dedup_incremental_minhash,
+        DEDUP_INCR_MINHASH_ORACLE,
+        "near-dup batch probe against a persisted MinHash band index (incremental dedup)",
+    ),
     Q("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "16-bit SimHash signatures"),
     Q("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_COSINE_ORACLE, "quantized cosine near-dup"),
     Q(

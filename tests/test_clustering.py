@@ -261,3 +261,43 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_smoke):
         return  # smoke corpus may hold no high-jaccard pairs; sf0.01 does
     recall = len(exact & mh) / len(exact)
     assert recall >= 0.8, f"MinHash recall {recall:.2f} vs exact jaccard>=0.5"
+
+
+def test_incremental_minhash_protocol_invariants(spark):
+    """Incremental near-dup probe: status logic is a pure function of the
+    match counts; only batch docs appear; every batch doc appears exactly
+    once; and a store near-dup implies an actual >=50% signature agreement
+    with some store doc (spot-checked through the signature table)."""
+    from phabricator_etl_spark.operators.dedup import (
+        INCR_STORE_CUT,
+        INCR_STORE_MOD,
+        NUM_MINHASHES,
+        _minhash_sig,
+        dedup_incremental_minhash,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = dedup_incremental_minhash(spark, sf).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "one row per batch doc"
+    assert all(i % INCR_STORE_MOD >= INCR_STORE_CUT for i in ids), "batch docs only"
+    for r in rows:
+        if r["n_store_matches"] > 0:
+            assert r["status"] == "neardup_of_store"
+        elif r["n_batch_prior"] > 0:
+            assert r["status"] == "neardup_in_batch"
+        else:
+            assert r["status"] == "new"
+    flagged = [r["doc_id"] for r in rows if r["status"] == "neardup_of_store"]
+    assert flagged, "sf0.01 corpus must contain store near-dups (seeded dups)"
+    # verify one flagged doc genuinely agrees with a store doc on >= half
+    # the minhashes (the claim behind the status)
+    sig = {r["doc_id"]: [r[f"mh{i}"] for i in range(NUM_MINHASHES)]
+           for r in _minhash_sig(spark, sf).collect()}
+    probe = flagged[0]
+    best = max(
+        sum(a == b for a, b in zip(sig[probe], s))
+        for d, s in sig.items()
+        if d % INCR_STORE_MOD < INCR_STORE_CUT
+    )
+    assert best * 2 >= NUM_MINHASHES
