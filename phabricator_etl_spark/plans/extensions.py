@@ -365,6 +365,97 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _arrow_token_stats(batches):
+    """RecordBatch -> RecordBatch token/char stats, pure pyarrow.compute —
+    no pandas materialization at all (mapInArrow skips even the
+    Arrow<->pandas conversion mapInPandas pays)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column(b.schema.get_field_index("text"))
+        toks = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.cast(b.column(b.schema.get_field_index("doc_id")), pa.int64()),
+                pc.cast(toks, pa.int64()),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+            ],
+            ["doc_id", "n_tokens", "n_chars"],
+        )
+
+
+def arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the LOWEST-overhead Python escape hatch (Spark 4) — the
+    worker receives raw Arrow RecordBatches and returns RecordBatches, with
+    no pandas conversion on either side. Completes the Python-execution
+    surface next to scalar pandas_udf, mapInPandas, applyInPandas,
+    applyInPandasWithState / transformWithStateInPandas, UDTFs, and the
+    Python DataSource. Same contract as every Python node here: these token
+    stats are ALSO expressible as codegen expressions (functions/text.py
+    does exactly that) — the query certifies the API, the oracle certifies
+    the values."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id"), F.col("text"))
+    return d.mapInArrow(_arrow_token_stats, "doc_id long, n_tokens long, n_chars long")
+
+
+ARROW_MAP_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def _arrow_group_stats(key, table):
+    """applyInArrow grouped-map: one pyarrow.Table per group in, one out.
+    Exact integer stats only (sum of cents, count, min/max id) so the
+    cross-engine compare is bit-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = table.column("cents")
+    return pa.table(
+        {
+            "event_type": [key[0].as_py()],
+            "n_events": [table.num_rows],
+            "value_cents": [pc.sum(cents).as_py() or 0],
+            "min_event_id": [pc.min(table.column("event_id")).as_py()],
+            "max_event_id": [pc.max(table.column("event_id")).as_py()],
+        }
+    )
+
+
+def arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow (Spark 4): grouped-map with raw Arrow Tables — the
+    grouped sibling of mapInArrow, completing the Arrow-native pair next to
+    the pandas-based applyInPandas. The group key arrives as Arrow scalars;
+    the whole group must fit one executor (canonical per-key-aggregate /
+    model-fit shape)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ev.groupBy("event_type").applyInArrow(
+        _arrow_group_stats,
+        "event_type string, n_events long, value_cents long, min_event_id long, max_event_id long",
+    )
+    return out.orderBy("event_type")
+
+
+ARROW_GROUPED_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS value_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     base = ev.select(
@@ -641,6 +732,8 @@ EXTENSION_QUERIES = [
     Q("sql_modern_syntax", sql_modern_syntax, SQL_MODERN_TEXT, "GROUP BY ALL / ORDER BY ALL, same text on both engines"),
     Q("sql_lateral_alias", sql_lateral_alias, SQL_LATERAL_ALIAS_TEXT, "lateral column alias referenced in the same select list"),
     Q("grouped_map_regression", grouped_map_regression, GROUPED_REGR_ORACLE, "applyInPandas per-group OLS fit"),
+    Q("arrow_map_batches", arrow_map_batches, ARROW_MAP_ORACLE, "mapInArrow RecordBatch pass (no pandas conversion)"),
+    Q("arrow_grouped_stats", arrow_grouped_stats, ARROW_GROUPED_ORACLE, "applyInArrow grouped-map (Arrow Tables per group)"),
     Q("scd2_order_intervals", scd2_order_intervals, SCD2_ORACLE, "SCD2 validity intervals via lead"),
     Q("window_time_range", window_time_range, TIME_RANGE_ORACLE, "time-valued RANGE frame"),
 ]
