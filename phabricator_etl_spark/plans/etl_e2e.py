@@ -87,8 +87,9 @@ def etl_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = PQ._ensure_world(spark)
     dest = _dest("incr")
-    rows = sorted(r[0] for r in src.revision.select("dateModified").collect())
-    cut = int(rows[len(rows) // 2])
+    # exact-median scalar readback (rel=0), same pattern as the pytest
+    # invariant — never collect the full timestamp column to the driver
+    cut = int(src.revision.approxQuantile("dateModified", [0.5], 0.0)[0])
     early = PhabSources(
         **{**src.__dict__, "revision": src.revision.filter(F.col("dateModified") <= cut)}
     )
