@@ -40,10 +40,23 @@ MERGE_KEYS = {  # merge key + recency column per table (stats.py:976-984)
 SNAPSHOT_TABLES = {"review_groups", "project_transactions"}
 
 
+def _dest_exists(spark: SparkSession, path: str) -> bool:
+    """Cluster-correct existence probe via the Hadoop FS API (file://,
+    hdfs://, s3a:// alike). Probing with a failing ``spark.read.parquet``
+    instead would store a PATH_NOT_FOUND analysis error that Spark 4's
+    ObservationManager listener re-raises into the log on every first run
+    (ERROR ExecutionListenerBus) — probe the filesystem, not the analyzer."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def read_watermark(spark: SparkSession, dest_dir: str) -> int | None:
     """S2: MAX(date_modified) of the loaded revisions table; None on first
     run (destination absent/empty)."""
     path = os.path.join(dest_dir, "revisions")
+    if not _dest_exists(spark, path):
+        return None
     try:
         df = spark.read.parquet(path)
     except Exception:
@@ -180,11 +193,11 @@ def run_incremental(
         if name in SNAPSHOT_TABLES:
             merged = staging  # full overwrite every run
         else:
-            try:
+            if _dest_exists(spark, path):
                 # the stored revisions table carries its ym partition column;
                 # strip it so target and staging schemas line up for the merge
                 target = spark.read.parquet(path).drop("ym")
-            except Exception:
+            else:
                 target = None
             merged = merge_upsert(target, staging, key)
         # materialize before overwriting the path we may have just read
