@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from ..ckpt import CheckpointChain
 from ..query import Q
-from ..session import session_key
+from ..session import evict_stale
 from ..sources.catalog import load_table as _t
 
 K_CELLS = 8
@@ -274,7 +274,7 @@ _FIT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (session_key(spark), sf_dir)
+    key = (evict_stale(_FIT_CACHE, spark), sf_dir)
     if key not in _FIT_CACHE:
         _FIT_CACHE[key] = kmeans_fit(_vectors(spark, sf_dir))
     return _FIT_CACHE[key]

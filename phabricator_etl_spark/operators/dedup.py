@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query import Q
-from ..session import session_key
+from ..session import evict_stale
 from ..sources.catalog import load_table as _t
 from ..functions.hashing import MERSENNE31, MOD30, hash_seeds, md5_long, md5_long_sql
 
@@ -136,10 +136,7 @@ def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse id() after GC, so an id-keyed cache could hand a fresh session a
     dead DataFrame. Entries owned by other (stopped) applications are evicted
     on access so the cache never pins block storage past a session's life."""
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    for stale in [k for k in _POSTINGS_CACHE if k[0] != app_id]:
-        del _POSTINGS_CACHE[stale]
+    key = (evict_stale(_POSTINGS_CACHE, spark), sf_dir)
     if key not in _POSTINGS_CACHE:
         d = _spread(_t(spark, sf_dir, "documents"))
         _POSTINGS_CACHE[key] = (

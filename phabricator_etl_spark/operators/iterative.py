@@ -526,10 +526,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full value-hash oracle (VERDICT r4 #3): the peel is a pure INTEGER
     fixpoint, so it is exactly reproducible in DuckDB with a round-tagged
     recursive CTE — each iteration re-derives the surviving edge set from
-    the previous round (the recursive term's working table), and after the
-    true fixpoint every further round re-emits the identical set, so the
-    round-_KCORE_MAX_ROUNDS slice IS the fixpoint whenever peeling
-    converges within the bound (the Spark side raises if it does not).
+    the previous round (the recursive term's working table), and a final
+    extra peel step over the last round closes the empty-fixpoint case
+    where DuckDB halts the recursion one round early (see
+    _kcore_recursive_sql); the Spark side raises if peeling does not
+    converge within _KCORE_MAX_ROUNDS.
     Exactness is additionally pytest-pinned against a Python peeling oracle
     on constructed graphs (tests/test_graph_paths.py)."""
     from .triangles import _canonical_edges
@@ -538,34 +539,54 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.orderBy("node")
 
 
-def _kcore_oracle() -> str:
-    from .triangles import _EDGES_SQL
+def _kcore_recursive_sql(base_sql: str, k: int) -> str:
+    """Round-tagged recursive-CTE k-core peel, with a FINAL extra peel step.
 
-    deg_subq = (
-        "SELECT node FROM ("
-        "SELECT node, COUNT(*) AS d FROM "
-        "(SELECT a AS node FROM peel UNION ALL SELECT b AS node FROM peel) "
-        f"GROUP BY node) WHERE d >= {KCORE_K}"
-    )
+    DuckDB stops the recursion when the recursive term yields 0 rows, so if
+    one round removes EVERY remaining edge, MAX(round) slices the round
+    BEFORE the collapse — not the (empty) fixpoint the Spark peel returns.
+    One more degree filter over that last slice closes the gap: at a true
+    fixpoint it is the identity (every surviving endpoint already has
+    degree >= k), and in the collapse case it re-derives the empty next
+    round, which — peeling being monotone decreasing — IS the fixpoint."""
+
+    def deg_over(rel: str) -> str:
+        return (
+            "SELECT node FROM ("
+            "SELECT node, COUNT(*) AS d FROM "
+            f"(SELECT a AS node FROM {rel} UNION ALL SELECT b AS node FROM {rel}) "
+            f"GROUP BY node) WHERE d >= {k}"
+        )
+
     return f"""
-WITH RECURSIVE base AS ({_EDGES_SQL}),
+WITH RECURSIVE base AS ({base_sql}),
 peel(round, a, b) AS (
   SELECT 0, a, b FROM base
   UNION ALL
   SELECT p.round + 1, p.a, p.b
   FROM peel p
   WHERE p.round < {_KCORE_MAX_ROUNDS}
-    AND p.a IN ({deg_subq})
-    AND p.b IN ({deg_subq})
+    AND p.a IN ({deg_over('peel')})
+    AND p.b IN ({deg_over('peel')})
+),
+last AS (
+  SELECT a, b FROM peel WHERE round = (SELECT MAX(round) FROM peel)
 ),
 final AS (
-  SELECT a, b FROM peel WHERE round = (SELECT MAX(round) FROM peel)
+  SELECT a, b FROM last
+  WHERE a IN ({deg_over('last')}) AND b IN ({deg_over('last')})
 )
 SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
 FROM (SELECT a AS node FROM final UNION ALL SELECT b AS node FROM final)
 GROUP BY node
 ORDER BY node
 """
+
+
+def _kcore_oracle() -> str:
+    from .triangles import _EDGES_SQL
+
+    return _kcore_recursive_sql(_EDGES_SQL, KCORE_K)
 
 
 _BIPART_OFFSET = 1_000_000_000  # part node ids; keeps the two sides disjoint
@@ -600,31 +621,7 @@ def _kcore_bipartite_oracle() -> str:
         "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, "
         f"CAST(l_partkey AS BIGINT) + {_BIPART_OFFSET} AS b FROM lineitem"
     )
-    deg_subq = (
-        "SELECT node FROM ("
-        "SELECT node, COUNT(*) AS d FROM "
-        "(SELECT a AS node FROM peel UNION ALL SELECT b AS node FROM peel) "
-        f"GROUP BY node) WHERE d >= {KCORE_BIPARTITE_K}"
-    )
-    return f"""
-WITH RECURSIVE base AS ({base_sql}),
-peel(round, a, b) AS (
-  SELECT 0, a, b FROM base
-  UNION ALL
-  SELECT p.round + 1, p.a, p.b
-  FROM peel p
-  WHERE p.round < {_KCORE_MAX_ROUNDS}
-    AND p.a IN ({deg_subq})
-    AND p.b IN ({deg_subq})
-),
-final AS (
-  SELECT a, b FROM peel WHERE round = (SELECT MAX(round) FROM peel)
-)
-SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
-FROM (SELECT a AS node FROM final UNION ALL SELECT b AS node FROM final)
-GROUP BY node
-ORDER BY node
-"""
+    return _kcore_recursive_sql(base_sql, KCORE_BIPARTITE_K)
 
 
 ITERATIVE_QUERIES = [

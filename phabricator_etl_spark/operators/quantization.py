@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..query import Q
-from ..session import session_key
+from ..session import evict_stale
 from ..sources.catalog import load_table as _t
 from .clustering import OFFSET_Q, _VECS_SQL as _SHIFTED_SQL, _fit_sql, _vectors as _vectors_shifted, kmeans_fit
 from .similarity import COSINE_SCALE, N_QUERIES, TOP_K, _dot, _quantized
@@ -77,7 +77,7 @@ _CODEBOOK_CACHE: dict[tuple[str, str], list] = {}
 def _codebooks(spark: SparkSession, sf_dir: str):
     """Per-sub-space (PQ_K, subdim) centroid matrices, driver-side (the
     trained model: 4 * 16 * 16 doubles — parameter-sized, not data-sized)."""
-    key = (session_key(spark), sf_dir)
+    key = (evict_stale(_CODEBOOK_CACHE, spark), sf_dir)
     if key not in _CODEBOOK_CACHE:
         import numpy as np
 

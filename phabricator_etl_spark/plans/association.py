@@ -68,48 +68,56 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bsz") <= MAX_BASKET_ITEMS)
         .drop("bsz")
     )
-    # basket count as a broadcast 1-row scalar (crossJoin'd at the end):
-    # keeps the whole query ONE job instead of an eager mid-pipeline
-    # .count() that blocks the driver — same pattern as corpus_heavy_hitters
-    # and this query's own oracle (CROSS JOIN n)
-    n_baskets = baskets.agg(
-        F.count_distinct("basket").cast("long").alias("nbl")
-    ).select(
+    # basket count + threshold as a broadcast 1-row scalar: keeps the whole
+    # query ONE job instead of an eager mid-pipeline .count() that blocks
+    # the driver — same pattern as corpus_heavy_hitters and this query's
+    # own oracle (CROSS JOIN n). ceil() in exact int64 via `div` (Column
+    # `/` is DOUBLE division, which could round across the boundary for
+    # quotients near 2^53 — the oracle's `//` is exact, so must this be).
+    scalars = baskets.agg(F.count_distinct("basket").cast("long").alias("nbl")).select(
         F.col("nbl").cast("double").alias("nb"),
         F.greatest(
             F.lit(MIN_SUPPORT).cast("long"),
-            ((F.col("nbl") * SUPPORT_NUM + (SUPPORT_DEN - 1)) / SUPPORT_DEN)
-            .cast("long"),  # exact-int ceil(nbl*NUM/DEN)
+            F.expr(f"(nbl * {SUPPORT_NUM} + {SUPPORT_DEN - 1}) div {SUPPORT_DEN}"),
         ).alias("minsup"),
     )
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     # A-priori prune: any pair with support >= s has both items with
-    # support >= s — drop infrequent items BEFORE the pair join. The
-    # threshold is a broadcast 1-row scalar, same one-job pattern as nb.
-    frequent = item_counts.crossJoin(F.broadcast(n_baskets.select("minsup"))).filter(
-        F.col("c") >= F.col("minsup")
-    ).select("item", "c")
-    fb = baskets.join(F.broadcast(frequent.select("item")), "item").select("basket", "item")
-    x = fb.select("basket", F.col("item").alias("a"))
+    # support >= s — drop infrequent items BEFORE the pair join. The scalar
+    # is folded in ONCE here and then carried as data through the pair
+    # aggregation (min() of a constant column), so the basket-count subplan
+    # appears exactly once in the executed plan instead of being re-embedded
+    # by every downstream crossJoin.
+    frequent = (
+        item_counts.crossJoin(F.broadcast(scalars))
+        .filter(F.col("c") >= F.col("minsup"))
+        .select("item", "nb", "minsup")
+    )
+    fb = baskets.join(F.broadcast(frequent), "item")
+    x = fb.select("basket", F.col("item").alias("a"), "nb", "minsup")
     y = fb.select("basket", F.col("item").alias("b"))
     pairs = (
         x.join(y, "basket")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n_baskets.select("minsup")))
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.min("nb").alias("nb"),
+            F.min("minsup").alias("minsup"),
+        )
         .filter(F.col("support") >= F.col("minsup"))
-        .drop("minsup")
     )
-    ca = F.broadcast(frequent.select(F.col("item").alias("a"), F.col("c").alias("ca")))
-    cb = F.broadcast(frequent.select(F.col("item").alias("b"), F.col("c").alias("cb")))
+    # lift denominators from the UNFILTERED count table: pairs' items are
+    # frequent by construction, so values are identical — and the broadcast
+    # sides don't re-embed the threshold scalar.
+    ca = F.broadcast(item_counts.select(F.col("item").alias("a"), F.col("c").alias("ca")))
+    cb = F.broadcast(item_counts.select(F.col("item").alias("b"), F.col("c").alias("cb")))
     lift = (F.col("nb") * F.col("support")) / (F.col("ca") * F.col("cb")).cast(
         "double"
     )
     return (
         pairs.join(ca, "a")
         .join(cb, "b")
-        .crossJoin(F.broadcast(n_baskets))
         .select(
             "a",
             "b",

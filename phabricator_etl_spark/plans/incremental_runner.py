@@ -17,6 +17,7 @@ designed to deliver but never tests.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,8 +158,6 @@ def run_incremental(
     # The expanded set is the changed subset (small by construction), so
     # this is cheap to pin and is the staged-artifact shape a production
     # batch uses — invalidation computed once, consumed by every build.
-    from concurrent.futures import ThreadPoolExecutor
-
     expanded = world
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_rev = pool.submit(lambda: expanded.revision.localCheckpoint(eager=True))
@@ -218,8 +217,6 @@ def run_incremental(
     # cluster it overlaps each branch's shuffle/write stages the same way
     # (SparkSession job submission is thread-safe; FIFO scheduling lets
     # later jobs use idle slots).
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(max_workers=len(built)) as pool:
         futures = {name: pool.submit(_merge_and_write, name, df) for name, df in built.items()}
         return {name: fut.result() for name, fut in futures.items()}

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query import Q
-from ..session import session_key
+from ..session import evict_stale
 from ..sources import phab_fixtures
 from . import phab_pipelines as P
 
@@ -48,7 +48,7 @@ def _ensure_world(spark: SparkSession) -> phab_fixtures.PhabSources:
     Memoized per session: generation is pure (fixed seed), so the 8 pipeline
     gate entries share ONE set of source DataFrames instead of re-running the
     driver-side createDataFrame x15 (and its Arrow conversion) per query."""
-    key = session_key(spark)
+    key = evict_stale(_WORLDS, spark)
     if key in _WORLDS:
         return _WORLDS[key]
     src = phab_fixtures.generate(spark, seed=FIXTURE_SEED)

@@ -267,8 +267,10 @@ ORDER BY 1
 # --------------------------------------------------------------------------
 
 KMV_K = 64
-# 52-bit hash domain: md5_long >> 8 keeps hash order while making the
-# estimator numerator (K-1) * 2^52 ~= 2.8e17 fit comfortably in int64
+# 52-bit hash domain: md5_long >> 8 (true integer shift on BOTH engines —
+# a double-division floor(h/256) would lose the low bits near 2^60, where
+# double spacing exceeds 256) keeps hash order while making the estimator
+# numerator (K-1) * 2^52 ~= 2.8e17 fit comfortably in int64
 # ((K-1) * 2^60 would overflow)
 KMV_DOMAIN = 1 << 52
 QUANT_SAMPLE_PCT = 20
@@ -278,7 +280,7 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     hashed = li.select(
         "l_returnflag",
-        F.floor(md5_long(F.col("l_partkey").cast("string")) / 256).alias("h"),
+        F.shiftright(md5_long(F.col("l_partkey").cast("string")), 8).alias("h"),
     ).distinct()
     w = Window.partitionBy("l_returnflag").orderBy("h")
     ranked = hashed.withColumn("rk", F.row_number().over(w))
@@ -289,9 +291,11 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("u_k"),
         )
     )
+    # estimator in exact int64 `div`: the numerator (~2.8e17) exceeds 2^53,
+    # so double division would round it before dividing
     est = F.when(
         F.col("n_distinct") >= KMV_K,
-        F.floor(F.lit((KMV_K - 1) * KMV_DOMAIN) / F.col("u_k")),
+        F.expr(f"{(KMV_K - 1) * KMV_DOMAIN} div u_k"),
     ).otherwise(F.col("n_distinct"))
     return (
         per_group.select(
@@ -306,7 +310,7 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_DISTINCT_ORACLE = f"""
 WITH hashed AS (
   SELECT DISTINCT l_returnflag,
-         CAST(FLOOR({md5_long_sql("CAST(l_partkey AS VARCHAR)")} / 256) AS BIGINT) AS h
+         (({md5_long_sql("CAST(l_partkey AS VARCHAR)")}) >> 8) AS h
   FROM lineitem
 ), ranked AS (
   SELECT l_returnflag, h,
@@ -320,7 +324,7 @@ WITH hashed AS (
 )
 SELECT l_returnflag,
        CAST(CASE WHEN n_distinct >= {KMV_K}
-                 THEN FLOOR({(KMV_K - 1) * (1 << 52)} / u_k)
+                 THEN {(KMV_K - 1) * (1 << 52)} // u_k
                  ELSE n_distinct END AS BIGINT) AS kmv_estimate,
        CAST(n_distinct AS BIGINT) AS exact_distinct
 FROM per_group
@@ -352,9 +356,15 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = _t(spark, sf_dir, "orders").select(cents.alias("cents")).agg(
         F.min("cents").alias("min_cents"), F.max("cents").alias("max_cents")
     )
-    return (
-        ranked.agg(*picks, F.max("m").cast("long").alias("sample_size"))
-        .crossJoin(F.broadcast(full))
+    # crossJoin BEFORE the aggregate, mirroring the oracle's
+    # `FROM ranked CROSS JOIN fullr`: if the hash sample is ever empty, both
+    # sides then agree on an all-NULL row (aggregating after the join would
+    # emit real min/max against the oracle's NULLs — a hash mismatch).
+    return ranked.crossJoin(F.broadcast(full)).agg(
+        *picks,
+        F.max("m").cast("long").alias("sample_size"),
+        F.max("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
     )
 
 

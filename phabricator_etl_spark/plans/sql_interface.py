@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..query import Q
-from ..session import session_key
 from ..sources.catalog import load_table
 
 _TABLES = [
@@ -25,16 +24,23 @@ _TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-_REGISTERED: set[tuple[str, str]] = set()
+_VIEWS_MARKER = "spark_graft.views_for"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    key = (session_key(spark), sf_dir)
-    if key in _REGISTERED:
+    """Create the ten fixture temp views on THIS session (skip if current).
+
+    Temp views are per-SparkSession, so the guard must be too: a process- or
+    applicationId-scoped set would skip a sibling session sharing the same
+    context (TABLE_OR_VIEW_NOT_FOUND on every SQL-text query there). A
+    session conf marker has exactly the right scope — ``newSession()`` gets
+    fresh conf AND fresh views (both absent), ``cloneSession`` copies both
+    (both present) — so the marker can never outlive the views it guards."""
+    if spark.conf.get(_VIEWS_MARKER, None) == sf_dir:
         return
     for t in _TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    _REGISTERED.add(key)
+    spark.conf.set(_VIEWS_MARKER, sf_dir)
 
 
 # Each query is ONE SQL text valid in both Spark SQL and DuckDB, so the

@@ -34,6 +34,21 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def evict_stale(cache: dict, spark: SparkSession) -> str:
+    """Drop cache entries owned by other (stopped) SparkContexts.
+
+    Module-level caches keyed by session_key otherwise pin their artifacts
+    (localCheckpoint blocks, fixture worlds, trained models) for the process
+    lifetime across session restarts — e.g. scale_bench --fresh-per-query
+    creates dozens of contexts per process. Keys may be the bare
+    session_key string or tuples whose first element is it. Returns the
+    live applicationId for the caller's own key construction."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in cache if (k[0] if isinstance(k, tuple) else k) != app_id]:
+        del cache[stale]
+    return app_id
+
+
 def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     cpus = default_parallelism()
     builder = (

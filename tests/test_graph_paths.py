@@ -127,3 +127,30 @@ def test_kcore_adversarial_shapes(spark):
     edf = spark.createDataFrame(k4 + chain + tri, "a long, b long")
     got = {r["node"]: r["core_degree"] for r in kcore_subgraph(edf, 3).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_oracle_sql_matches_engine_on_empty_and_nonempty_cores(spark):
+    """The recursive-CTE oracle must agree with the Spark peel even when the
+    k-core is EMPTY: DuckDB halts the recursion at the first empty round, so
+    without the final extra peel step MAX(round) would slice the round
+    BEFORE the collapse (a path graph's 2-core: [(1,1),(2,2),(3,1)] instead
+    of the correct empty set)."""
+    import duckdb
+
+    from phabricator_etl_spark.operators.iterative import _kcore_recursive_sql, kcore_subgraph
+
+    cases = [
+        # path 1-2-3: 2-core is EMPTY (one peel round removes everything)
+        ([(1, 2), (2, 3)], 2),
+        # triangle + pendant: 2-core is the triangle (non-empty fixpoint)
+        ([(1, 2), (2, 3), (1, 3), (3, 4)], 2),
+        # two triangles sharing a node: cascade then fixpoint
+        ([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], 2),
+    ]
+    for edges, k in cases:
+        values = ", ".join(f"({a}, {b})" for a, b in edges)
+        base = f"SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (VALUES {values}) t(a, b)"
+        oracle = duckdb.sql(_kcore_recursive_sql(base, k)).fetchall()
+        edf = spark.createDataFrame(edges, "a long, b long")
+        got = sorted((r["node"], r["core_degree"]) for r in kcore_subgraph(edf, k).collect())
+        assert got == sorted(oracle), (edges, k)

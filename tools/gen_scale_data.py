@@ -71,9 +71,14 @@ EPOCH_2024 = np.datetime64("2024-01-01")
 
 
 def _rng(table: str, sf: float, skew: bool) -> np.random.Generator:
-    return np.random.default_rng(
-        abs(hash((table, round(sf * 1000), skew))) % (2**63)
-    )
+    # md5, NOT the built-in hash(): str hashing is salted per process
+    # (PYTHONHASHSEED), which silently broke the "regeneration is
+    # bit-identical" guarantee this module promises — data written by one
+    # process could never be reproduced by another.
+    import hashlib
+
+    key = f"{table}|{round(sf * 1000)}|{skew}".encode()
+    return np.random.default_rng(int.from_bytes(hashlib.md5(key).digest()[:8], "big"))
 
 
 def _ts_col(days_from, epoch):
