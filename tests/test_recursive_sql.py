@@ -36,3 +36,27 @@ def test_recursive_cte_equals_pointer_jump_and_closed_form(spark):
         if r.pos <= DEPTH_BOUND
     }
     assert rec == pos
+
+
+def test_registration_is_per_session_not_per_context(spark):
+    """A sibling session created with newSession() shares the SparkContext
+    (same applicationId) but has its OWN temp-view catalog and data-source
+    registry. The registration guards must therefore be session-scoped: an
+    applicationId-keyed set silently skipped the sibling, failing every SQL
+    query there with TABLE_OR_VIEW_NOT_FOUND / DATA_SOURCE_NOT_FOUND."""
+    register_views(spark, SF)
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n > 0
+
+    sib = spark.newSession()
+    try:
+        register_views(sib, SF)
+        assert sib.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n > 0
+
+        from phabricator_etl_spark.sources.pydatasource import register_ticks
+
+        register_ticks(sib)
+        assert sib.read.format("ticks").option("rows", "10").load().count() == 10
+    finally:
+        # newSession shares the context; nothing to stop, but drop its views
+        # so no state leaks into other tests via the shared JVM
+        sib.catalog.clearCache()
