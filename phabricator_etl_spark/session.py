@@ -42,8 +42,8 @@ def evict_stale(cache: dict, spark: SparkSession) -> str:
     lifetime across session restarts — e.g. scale_bench --fresh-per-query
     creates dozens of contexts per process. Keys may be the bare
     session_key string or tuples whose first element is it. Returns the
-    live applicationId for the caller's own key construction."""
-    app_id = spark.sparkContext.applicationId
+    live session_key for the caller's own key construction."""
+    app_id = session_key(spark)
     for stale in [k for k in cache if (k[0] if isinstance(k, tuple) else k) != app_id]:
         del cache[stale]
     return app_id

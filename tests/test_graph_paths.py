@@ -144,7 +144,12 @@ def test_kcore_oracle_sql_matches_engine_on_empty_and_nonempty_cores(spark):
         ([(1, 2), (2, 3)], 2),
         # triangle + pendant: 2-core is the triangle (non-empty fixpoint)
         ([(1, 2), (2, 3), (1, 3), (3, 4)], 2),
-        # two triangles sharing a node: cascade then fixpoint
+        # triangle + 2-hop pendant chain: node 5 peels (deg 1), then node 4
+        # — a real multi-round cascade down to the NON-empty triangle
+        # fixpoint, exercising the MAX(round)-slice + identity-final-peel
+        # branch of the oracle
+        ([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], 2),
+        # every node already >= 2: zero peel rounds, final peel is identity
         ([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], 2),
     ]
     for edges, k in cases:

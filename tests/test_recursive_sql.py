@@ -57,6 +57,11 @@ def test_registration_is_per_session_not_per_context(spark):
         register_ticks(sib)
         assert sib.read.format("ticks").option("rows", "10").load().count() == 10
     finally:
-        # newSession shares the context; nothing to stop, but drop its views
-        # so no state leaks into other tests via the shared JVM
-        sib.catalog.clearCache()
+        # newSession shares the context; nothing to stop, but drop the
+        # sibling's temp views so no state leaks via the shared JVM
+        # (NOT catalog.clearCache(): that clears the application-wide
+        # CacheManager for every session, not this session's views)
+        from phabricator_etl_spark.plans.sql_interface import _TABLES
+
+        for t in _TABLES:
+            sib.catalog.dropTempView(t)
