@@ -101,6 +101,8 @@ def kmeans_fit(
     if local_threshold > 0:
         # LIMIT probe doubles as the Arrow transfer (see graph.py).
         probe = vectors.select("vec_id", "vec").limit(local_threshold + 1).toPandas()
+        if probe.empty:  # no vectors, no model: empty centroid table
+            return vectors.sparkSession.createDataFrame([], "cell int, centroid array<bigint>")
         if len(probe) <= local_threshold:
             return _local_kmeans(vectors, probe, k, iterations)
     chain = CheckpointChain()
@@ -155,6 +157,10 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     import pandas as pd
 
     cl = centroids.orderBy("cell").collect()
+    if not cl:  # empty model (empty input): nothing can be assigned
+        return vectors.sparkSession.createDataFrame(
+            [], "vec_id long, vec array<bigint>, cell int, d long"
+        )
     cells = np.array([r["cell"] for r in cl], dtype=np.int64)
     cm = np.vstack([np.asarray(r["centroid"], dtype=np.int64) for r in cl])
     bc = vectors.sparkSession.sparkContext.broadcast((cells, cm))

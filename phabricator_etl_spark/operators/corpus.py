@@ -288,7 +288,9 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), _TOKEN_RE)
     tok = d.select(F.explode(toks).alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
-    n_tokens = uni.agg(F.sum("c").cast("long")).collect()[0][0]
+    # `or 0`: SUM over an empty corpus is NULL; `big` is then empty too, so
+    # the ratio column never evaluates — 0 keeps float() total
+    n_tokens = uni.agg(F.sum("c").cast("long")).collect()[0][0] or 0
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(

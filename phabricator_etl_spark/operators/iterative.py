@@ -238,6 +238,8 @@ def _local_pagerank(
 
     ids = vertices.select("id").toPandas()["id"].tolist()
     n = len(ids)
+    if n == 0:  # empty graph: no vertices, no ranks (== oracle)
+        return vertices.select(F.col("id"), F.lit(1).cast("long").alias("rank_micro"))
     idx = {v: i for i, v in enumerate(ids)}
     # Mirror the distributed joins exactly: out-degree counts EVERY edge of a
     # known src (even to unknown dsts — that mass evaporates, as in the

@@ -201,7 +201,10 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dup = d.select(md5_long(F.col("text")).alias("h")).groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup_long = dup.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("distinct_")
+        # coalesce: SUM over an empty corpus is NULL, but the oracle's
+        # COUNT(*) is 0 — the card must agree on empty input
+        F.coalesce(F.sum("c"), F.lit(0)).alias("total"),
+        F.count(F.lit(1)).alias("distinct_"),
     ).select(
         F.explode(
             F.array(

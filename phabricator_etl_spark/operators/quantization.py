@@ -64,9 +64,12 @@ PQ_RERANK = 12 * TOP_K  # ADC shortlist size fed to the exact re-rank
 PQ_TRAIN_CAP = 16_384
 
 
-def _subdim(spark: SparkSession, sf_dir: str) -> int:
+def _subdim(spark: SparkSession, sf_dir: str) -> int | None:
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").head()["embedding"])
+    head = e.select("embedding").head()
+    if head is None:  # empty corpus: no dim, no codebooks (callers early-exit)
+        return None
+    dim = len(head["embedding"])
     assert dim % PQ_M == 0, f"dim {dim} not divisible by PQ_M={PQ_M}"
     return dim // PQ_M
 
@@ -82,6 +85,8 @@ def _codebooks(spark: SparkSession, sf_dir: str):
         import numpy as np
 
         sub = _subdim(spark, sf_dir)
+        if sub is None:
+            return None
         e = _vectors_shifted(spark, sf_dir)  # quantized + shifted longs
         stride = (e.count() + PQ_TRAIN_CAP - 1) // PQ_TRAIN_CAP
         if stride > 1:
@@ -101,6 +106,10 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     books = _codebooks(spark, sf_dir)
+    if books is None:  # empty corpus: no codes (== oracle's empty result)
+        return spark.createDataFrame(
+            [], "vec_id long, " + ", ".join(f"code{m} int" for m in range(PQ_M))
+        )
     sub = books[0].shape[1]
     bc = spark.sparkContext.broadcast(books)
 
@@ -127,6 +136,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     books = _codebooks(spark, sf_dir)
+    if books is None:  # empty corpus: no queries, no shortlist (== oracle)
+        return spark.createDataFrame([], "query_id long, cand_id long, dot_q long, rank long")
     sub = books[0].shape[1]
     codes = pq_encode(spark, sf_dir)
 

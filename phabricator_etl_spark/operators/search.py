@@ -152,6 +152,8 @@ def _avgdl_col(dl: DataFrame):
     row = dl.agg(
         F.sum("dl").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("c")
     ).collect()[0]
+    if not row["c"]:  # empty corpus: avgdl never reaches a score (no postings)
+        return F.lit(0.0)
     return F.lit(float(row["s"]) / float(row["c"]))
 
 
@@ -241,10 +243,12 @@ def search_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"), lambda x: F.round(x.cast("double") * EMB_SCALE).cast("long")
         ).alias("qe"),
     )
-    qvec = [
-        int(v)
-        for v in e.filter(F.col("doc_id") == HYBRID_QUERY_VEC_ID).collect()[0]["qe"]
-    ]
+    qrows = e.filter(F.col("doc_id") == HYBRID_QUERY_VEC_ID).collect()
+    if not qrows:  # empty corpus: no query vector, no rerank (== oracle)
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms_matched long, bm25 double, dot_q long"
+        )
+    qvec = [int(v) for v in qrows[0]["qe"]]
     qlit = F.array(*[F.lit(v) for v in qvec])
     dot = F.aggregate(
         F.zip_with(F.col("qe"), qlit, lambda a, b: a * b),

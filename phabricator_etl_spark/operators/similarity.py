@@ -262,6 +262,8 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = _quantized(spark, sf_dir)
     qpd = q.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "qe").toPandas()
+    if qpd.empty:  # empty corpus -> no query batch -> empty top-k (== oracle)
+        return spark.createDataFrame([], "query_id long, cand_id long, dot_q long, rank long")
     q_ids = qpd["vec_id"].to_numpy(dtype=np.int64)
     q_mat = np.vstack(qpd["qe"].to_numpy()).astype(np.int64)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))

@@ -254,6 +254,8 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
     mn, mx = li.agg(F.min("cents"), F.max("cents")).first()
+    if mn is None:  # empty table: no domain, no bins — width is never used
+        mn, mx = 0, 0
     width = (mx - mn) // HIST_BINS + 1  # ceil-ish: bin of mx stays < HIST_BINS
     binned = li.select(
         "l_returnflag",

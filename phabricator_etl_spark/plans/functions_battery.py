@@ -725,7 +725,10 @@ def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("cents"), F.asc("cust")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    total = per_cust.agg(F.sum("cents").cast("long")).collect()[0][0]
+    # `or 0`: SUM over an empty table is NULL; threshold 0 then yields
+    # n_customers = 0+1 = 1 per pct, matching the oracle's NULL-comparison
+    # path on empty input
+    total = per_cust.agg(F.sum("cents").cast("long")).collect()[0][0] or 0
     ranked = per_cust.select(
         "cust",
         "cents",

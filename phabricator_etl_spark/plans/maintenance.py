@@ -61,21 +61,26 @@ def maint_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalesce = narrow concatenation of input files, no shuffle.
         spark.read.parquet(frag).coalesce(COMPACT_TARGET).write.mode("overwrite").parquet(compact)
     out = spark.read.parquet(compact)
+    # The hashed result certifies DATA integrity across the rewrite plus the
+    # layout INVARIANT (a boolean — compaction never exceeds its target and
+    # never grows the file count). The exact file counts are physical-plan
+    # artifacts — AQE coalesces the round-robin shuffle by size, so 100 rows
+    # can land in 44 files, not LEAST(100, 64) — no SQL oracle can predict
+    # them; the stronger count assertions live in tests/test_formats_streaming.py.
+    nb, na = len(_parquet_files(frag)), len(_parquet_files(compact))
     return out.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
-        F.lit(len(_parquet_files(frag))).cast("long").alias("files_before"),
-        F.lit(len(_parquet_files(compact))).cast("long").alias("files_after"),
+        F.lit(bool(na <= COMPACT_TARGET and na <= max(nb, 1))).alias("compaction_ok"),
     )
 
 
-COMPACT_ORACLE = f"""
+COMPACT_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-       CAST({FRAGMENT_FILES} AS BIGINT) AS files_before,
-       CAST({COMPACT_TARGET} AS BIGINT) AS files_after
+       TRUE AS compaction_ok
 FROM lineitem
 """
 
@@ -109,13 +114,12 @@ def src_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCHEMA_EVOLUTION_ORACLE = """
-SELECT CAST(1 AS BIGINT) AS gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(*) AS BIGINT) AS null_new_col,
+SELECT CAST(gen AS BIGINT) AS gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS null_new_col,
        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
-FROM orders WHERE o_orderkey % 2 = 0
-UNION ALL
-SELECT 2, COUNT(*), 0, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
-FROM orders WHERE o_orderkey % 2 = 1
+FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen, o_orderstatus
+      FROM orders)
+GROUP BY gen
 """
 
 

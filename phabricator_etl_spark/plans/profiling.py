@@ -76,7 +76,9 @@ def profile_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(col).alias("column"),
                 F.col("nr").cast("long").alias("n_rows"),
                 (F.col("nr") - F.col("nn")).cast("long").alias("n_null"),
-                F.floor(F.lit(10000) * (F.col("nr") - F.col("nn")) / F.col("nr"))
+                # try_divide: NULL on an empty table (nr=0), matching
+                # DuckDB's x/0 -> NULL instead of ANSI DIVIDE_BY_ZERO
+                F.floor(F.try_divide(F.lit(10000) * (F.col("nr") - F.col("nn")), F.col("nr")))
                 .cast("long")
                 .alias("null_x10000"),
                 F.col("nd").cast("long").alias("n_distinct"),

@@ -419,7 +419,9 @@ TEMP_PPM = 1_000_000
 def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    min_n = counts.agg(F.min("n_docs").cast("long").alias("m")).collect()[0]["m"]
+    # `or 0`: MIN over an empty corpus is NULL; counts is then empty too, so
+    # the rate column is never evaluated — 0 keeps float() total
+    min_n = counts.agg(F.min("n_docs").cast("long").alias("m")).collect()[0]["m"] or 0
     rates = counts.select(
         "lang",
         "n_docs",

@@ -32,7 +32,11 @@ SALT_BUCKETS = 16
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """One-time bucketed materialization of orders+lineitem on the join key.
     saveAsTable is required (bucket metadata lives in the catalog)."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    import re
+
+    # sanitize EVERY non-identifier character (dots, hyphens, ...): the tag
+    # lands in a SQL table name, where "sf0.1" or "sf0-empty" would fail
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
     ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
 
     # a fresh session has an empty in-memory catalog, but a previous run may

@@ -240,6 +240,8 @@ def src_jdbc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("s_suppkey"), F.max("s_suppkey"))
         .collect()[0]
     )
+    if lo is None:  # empty source table: any single-cursor range works
+        lo = hi = 0
     supplier = jdbc_read(
         spark, url, "supplier",
         partition_column="s_suppkey", num_partitions=8,

@@ -93,8 +93,14 @@ def stream_funnel_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = emissions.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return final.filter(F.col("t1") != 0).agg(
         F.count(F.lit(1)).cast("long").alias("users_view"),
-        F.sum((F.col("t2") != 0).cast("long")).cast("long").alias("users_click_after_view"),
-        F.sum((F.col("t3") != 0).cast("long")).cast("long").alias("users_full_funnel"),
+        # coalesce: SUM over zero users is NULL, the oracle's conditional
+        # COUNT is 0 — the empty stream must agree
+        F.coalesce(F.sum((F.col("t2") != 0).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("users_click_after_view"),
+        F.coalesce(F.sum((F.col("t3") != 0).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("users_full_funnel"),
         F.coalesce(
             F.sum(
                 F.when(

@@ -96,3 +96,30 @@ def test_transform_with_state_gate_matches_batch_when_protobuf_present(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_smoke):
+    """The physical claim the gated `maint_compact_small_files` row can't
+    carry (AQE makes exact intermediate file counts unpredictable — 100 rows
+    round-robin'd into 64 partitions landed in 44 files): after compaction
+    the file count is within the target and never above the fragmented
+    count, and every row survives the rewrite."""
+    import os
+
+    from phabricator_etl_spark.plans.maintenance import (
+        COMPACT_TARGET,
+        _parquet_files,
+        _stage_dir,
+        maint_compact_small_files,
+    )
+    from phabricator_etl_spark.sources.catalog import load_table
+
+    row = maint_compact_small_files(spark, sf_smoke).collect()[0]
+    nrows = load_table(spark, sf_smoke, "lineitem").count()
+    assert row["n_rows"] == nrows
+    assert row["compaction_ok"] is True
+    frag = _stage_dir("frag", sf_smoke, nrows)
+    compact = _stage_dir("compact", sf_smoke, nrows)
+    nb, na = len(_parquet_files(frag)), len(_parquet_files(compact))
+    assert 1 <= na <= COMPACT_TARGET
+    assert na <= nb
