@@ -72,15 +72,19 @@ def _local_kmeans(vectors: DataFrame, vpd, k: int, iterations: int) -> DataFrame
 
     order = np.argsort(vpd["vec_id"].to_numpy())
     X = np.vstack(vpd["vec"].to_numpy()).astype(np.int64)[order]
+    # fewer vectors than k: the model has min(n, k) cells — exactly what the
+    # SQL oracle's ROW_NUMBER <= k init yields and what the distributed
+    # path's limit(k) seeds
     C = X[:k].copy()
+    kk = len(C)
     for _ in range(iterations):
         d = (X * X).sum(1, keepdims=True) - 2 * (X @ C.T) + (C * C).sum(1)
         a = d.argmin(1)
-        for c in range(k):
+        for c in range(kk):
             members = X[a == c]
             if len(members):
                 C[c] = members.sum(0) // len(members)
-    out = pd.DataFrame({"cell": np.arange(1, k + 1, dtype=np.int32), "centroid": list(C)})
+    out = pd.DataFrame({"cell": np.arange(1, kk + 1, dtype=np.int32), "centroid": list(C)})
     return vectors.sparkSession.createDataFrame(out, "cell int, centroid array<bigint>")
 
 

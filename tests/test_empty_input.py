@@ -102,3 +102,45 @@ def test_every_query_matches_oracle_on_empty_tables(spark, empty_dir):
     # the allowlist must not rot: each pinned divergence still diverges
     # exactly as documented (a fixed entry should be REMOVED from the list)
     assert seen_known == KNOWN_DIVERGENCES
+
+
+@pytest.fixture(scope="module")
+def onerow_dir(tmp_path_factory) -> str:
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.01"
+    out = str(tmp_path_factory.mktemp("onerow") / "sf0-onerow")
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet").slice(0, 1), f"{out}/{t}.parquet")
+    return out
+
+
+# n < k / single-element families: the class the 1-row sweep actually broke
+# (k-means init produced k cell ids for min(n, k) centroids), plus the
+# tie-break-sensitive window/rank shapes. The FULL 220-query 1-row sweep is
+# green (run via tools/strict_check.py); this keeps the broken class pinned
+# without doubling the suite's runtime.
+ONEROW_QUERIES = [
+    "kmeans_cells", "ann_ivf_kmeans", "ann_pq_adc",
+    "w1_top1_per_group", "w3_first_by_struct_min", "approx_quantiles_price",
+    "window_pareto_share", "sketch_histogram_quantiles",
+]
+
+
+def test_n_less_than_k_families_match_oracle_on_one_row(spark, onerow_dir):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{onerow_dir}/{t}.parquet'")
+    failures = []
+    for name in ONEROW_QUERIES:
+        try:
+            spdf = qs[name](spark, onerow_dir).toPandas()
+            dpdf = con.execute(osql[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:140]}")
+            continue
+        if _key(spdf) != _key(dpdf):
+            failures.append(f"{name}: spark={len(spdf)} vs duck={len(dpdf)} rows (or values differ)")
+    assert not failures, "one-row divergences:\n" + "\n".join(failures)
