@@ -67,7 +67,11 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in DRIVER_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # gen_scale_data writes big tables as DIRECTORIES of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_bad = 0
     for q in all_queries():
