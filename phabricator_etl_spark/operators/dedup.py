@@ -109,13 +109,26 @@ MAX_SHINGLE_DF = 50  # posting-list cap: shingles in more docs are stopwords
 def _spread(d: DataFrame) -> DataFrame:
     """Fan a small scan out across the cluster before CPU-heavy per-row work.
 
-    The documents table arrives as one parquet file -> ONE scan partition
-    (a single row group can't be split), so any expensive projection after it
-    runs on a single core unless we repartition first. The shuffle moves a
-    few MB; the projection gains full parallelism. At 100 TB inputs arrive
-    as many files and this becomes a no-op-sized safeguard for stragglers."""
+    Parquet row groups are the unit of split: a file written as one row
+    group can't be subdivided, so the scan's EFFECTIVE parallelism is
+    bounded by the input file count no matter how many (mostly empty)
+    partitions Spark carves by byte ranges. Measured at sf10: the 8-file
+    embeddings table reported 32 scan partitions but only 8 were non-empty
+    (min 0 / max 62500 rows), quietly running every downstream HOF
+    projection at 8-way parallelism — the partition COUNT guard alone
+    missed it. So the guard checks both signals: planned partitions AND
+    distinct input files (``inputFiles()`` is metadata-only, no scan). The
+    repartition shuffle moves a few MB; the projection gains full
+    parallelism. At 100 TB inputs arrive as thousands of multi-row-group
+    files, file count >> cores, and this is a no-op."""
     target = d.sparkSession.sparkContext.defaultParallelism
-    return d.repartition(target) if d.rdd.getNumPartitions() < target else d
+    if d.rdd.getNumPartitions() < target:
+        return d.repartition(target)
+    try:
+        nfiles = len(d.inputFiles())
+    except Exception:  # non-file source: partition count is the only signal
+        return d
+    return d.repartition(target) if 0 < nfiles < target else d
 
 
 _POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -544,117 +557,29 @@ DEDUP_SIMHASH_ORACLE = _simhash_oracle()
 # Embedding cosine near-dup: fixed-point quantized dot product (exact integer
 # math, bit-identical across engines). Candidates come from MULTI-BAND
 # sign-bit buckets (the same banded hyperplane-LSH construction as
-# similarity.ann_lsh_bucket): a pair is a candidate if its sign pattern
-# agrees on ANY of the COS_BANDS disjoint COS_BAND_BITS-dim slices. One
-# 4-bit band alone recovers ~14% of true cos>=0.3 pairs on this corpus
-# (per-dim sign agreement at the threshold is ~0.60 => 0.60^4 per band);
-# 12 bands recover ~80% (tests/test_clustering.py measures the floor).
-# Bands/bits are the recall/cost dials; the join stays equi on
-# (band, bucket) — never a crossJoin.
-# ---------------------------------------------------------------------------
-
-COSINE_NEARDUP_X1E8 = 30_000_000  # cos >= 0.3 at scale 1e8
-COS_BAND_BITS = 4
-COS_BANDS = 12  # band t hashes dims [4t+1 .. 4t+4]
-
-
-def _quantize(col: F.Column) -> F.Column:
-    return F.transform(col, lambda x: F.round(x.cast("double") * COSINE_SCALE).cast("long"))
-
-
-def _sign_bucket(qcol: F.Column, band: int = 0) -> F.Column:
-    bucket = F.lit(0)
-    for j in range(COS_BAND_BITS):
-        dim = band * COS_BAND_BITS + j + 1
-        bucket = bucket + F.when(F.element_at(qcol, dim) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
-
-
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _spread(_t(spark, sf_dir, "embeddings"))
-    # cache: the quantized table feeds the banding explode AND both sides of
-    # the scoring join (same reuse pattern as dedup_minhash_lsh's sig table)
-    q = e.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        _quantize(F.col("embedding")).alias("qe"),
-    ).localCheckpoint(eager=True)
-    buckets = F.array(*[_sign_bucket(F.col("qe"), t) for t in range(COS_BANDS)])
-    # Candidate pairs are generated ID-ONLY: the 12-band posexplode and the
-    # (band, bucket) equi-join carry just vec_id, so the fan-out shuffles a
-    # few bytes per row. The full quantized vectors join in ONCE PER SIDE
-    # after the pair set is deduped — at 100 TB this removes a ~12x
-    # embedding-width multiplier from the candidate-join shuffle.
-    long = q.select("vec_id", F.posexplode(buckets).alias("band", "bucket"))
-    cand = (
-        long.alias("x")
-        .join(long.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-        .distinct()  # any-band union, score once
-    )
-    qa = q.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"))
-    qb = q.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"))
-    paired = cand.join(qa, "a").join(qb, "b")
-
-    # Scoring via Arrow + one integer einsum per batch. Catalyst's
-    # zip_with/aggregate HOF evaluates INTERPRETED per element (the same
-    # finding as clustering.assign_cells): measured 3.46s -> 2.47s warm at
-    # sf0.1 for identical output. int64 einsum on quantized values is
-    # exact, so the hash-gated result is unchanged.
-    def _score(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            va = np.vstack(pdf["qa"].to_numpy()).astype(np.int64)
-            vb = np.vstack(pdf["qb"].to_numpy()).astype(np.int64)
-            d = np.einsum("ij,ij->i", va, vb)
-            out = pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "dot_q": d})
-            yield out[out["dot_q"] >= COSINE_NEARDUP_X1E8]
-
-    return paired.mapInPandas(_score, "a long, b long, dot_q long")
-
-
-def _cos_band_sql(t: int) -> str:
-    return " + ".join(
-        f"CASE WHEN qe[{t * COS_BAND_BITS + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
-        for j in range(COS_BAND_BITS)
-    )
-
-
-_COS_LONG_SQL = "\nUNION ALL\n".join(
-    f"SELECT vec_id, qe, {t} AS band, {_cos_band_sql(t)} AS bucket FROM q"
-    for t in range(COS_BANDS)
-)
-
-DEDUP_COSINE_ORACLE = f"""
-WITH q AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_SCALE}) AS BIGINT)) AS qe
-  FROM embeddings
-), long AS ({_COS_LONG_SQL}),
-cands AS (
-  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, x.qe AS qa, y.qe AS qb
-  FROM long x JOIN long y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-)
-SELECT a, b,
-       CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS BIGINT) AS dot_q
-FROM cands
-WHERE list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) >= {COSINE_NEARDUP_X1E8}
-"""
-
-
-# ---------------------------------------------------------------------------
-# Production near-dup variant of the cosine dedup. The gate entry above uses
-# a 0.3 demo threshold and 4-bit bands — correct and cheap at driver SFs,
-# but structurally small-SF-only, for two measured reasons (SCALE_BENCH r5):
+# similarity.ann_lsh_bucket).
+#
+# History (r5 verdict #3): through round 5 this entry ran a 0.3 demo
+# threshold over 12x4-bit bands — correct and cheap at driver SFs, but
+# structurally small-SF-only, for two measured reasons (SCALE_BENCH r5):
 #   1. with 4-bit keys every band has 16 buckets, so bucket occupancy is
 #      n/16 and candidate volume is Theta(n^2) REGARDLESS of data;
 #   2. at cos >= 0.3 on random unit vectors ~0.75% of ALL pairs qualify, so
 #      the OUTPUT itself is Theta(n^2) — no plan can beat its own answer.
-# This variant is the shape you deploy at 100 TB: 16-bit band keys (finer
+# No fixed sub-max threshold fixes (2) on this corpus: the driver embeddings
+# are spread (max observed pairwise cosine ~0.6), so any threshold that
+# produces output at all admits a FIXED fraction of random pairs — output
+# Theta(n^2) by construction. Round 6 therefore FOLDED the demo entry into
+# the production pipeline below (the r5-sanctioned option): the gate name
+# `dedup_embedding_cosine` is frozen (GATE_PRIORITY), so it now runs the
+# production parameters, and `dedup_embedding_neardup` (added round 5,
+# outside the frozen window) remains as an alias rather than a duplicate
+# registry row. On the driver's dup-free testdata the result is empty —
+# the honest answer; recall is proven on injected-duplicate corpora
+# (tests/test_clustering.py) and the scale fixtures, whose generators plant
+# true near-dups, exercise real output volume at sf1..sf10.
+#
+# This is the shape you deploy at 100 TB: 16-bit band keys (finer
 # buckets: occupancy n/65536 on random data; a true near-dup at cos >= 0.95
 # differs in at most a few sign bits, so it still collides in >= 1 of the 4
 # bands with good probability — measured recall in tests/test_clustering),
@@ -672,6 +597,10 @@ COS_MAX_BUCKET = 500  # occupancy cap: over-full sign buckets are dropped
 COSINE_STRICT_X1E8 = 95_000_000  # cos >= 0.95 at scale 1e8
 
 
+def _quantize(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * COSINE_SCALE).cast("long"))
+
+
 def _strict_bucket(qcol: F.Column, band: int) -> F.Column:
     bucket = F.lit(0)
     for j in range(COS_STRICT_BITS):
@@ -680,7 +609,7 @@ def _strict_bucket(qcol: F.Column, band: int) -> F.Column:
     return bucket
 
 
-def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -725,6 +654,12 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.mapInPandas(_score, "a long, b long, dot_q long")
 
 
+# Backward-compat alias: `dedup_embedding_neardup` was the round-5 name for
+# the production pipeline while the gate entry still ran the 0.3 demo
+# parameters; round 6 folded them (see the section comment above).
+dedup_embedding_neardup = dedup_embedding_cosine
+
+
 def _strict_band_sql(t: int) -> str:
     return " + ".join(
         f"CASE WHEN qe[{t * COS_STRICT_BITS + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
@@ -737,7 +672,7 @@ _STRICT_LONG_SQL = "\nUNION ALL\n".join(
     for t in range(COS_STRICT_BANDS)
 )
 
-DEDUP_NEARDUP_ORACLE = f"""
+DEDUP_COSINE_ORACLE = f"""
 WITH q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_SCALE}) AS BIGINT)) AS qe
@@ -874,12 +809,12 @@ DEDUP_QUERIES = [
         "near-dup batch probe against a persisted MinHash band index (incremental dedup)",
     ),
     Q("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "16-bit SimHash signatures"),
-    Q("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_COSINE_ORACLE, "quantized cosine near-dup"),
     Q(
-        "dedup_embedding_neardup",
-        dedup_embedding_neardup,
-        DEDUP_NEARDUP_ORACLE,
-        "production cosine near-dup (16-bit bands, occupancy cap, cos>=0.95)",
+        "dedup_embedding_cosine",
+        dedup_embedding_cosine,
+        DEDUP_COSINE_ORACLE,
+        "production cosine near-dup (16-bit bands, occupancy cap, cos>=0.95; "
+        "r6 fold of the former 0.3-threshold demo and dedup_embedding_neardup)",
     ),
     Q("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "directed shingle containment (quote/boilerplate inclusion)"),
     Q("corpus_novelty_rate", corpus_novelty_rate, NOVELTY_ORACLE, "per-doc share of corpus-unique shingles (shared posting index)"),

@@ -68,8 +68,24 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k: broadcast the query batch, score everything, window
-    row_number per query. The corpus-side scan is a single narrow stage."""
+    """Exact top-k: broadcast the query batch, score everything, reduce.
+
+    Two-level top-k (exactness preserved — top-k is a monotone reduction,
+    so partial-then-global over any partitioning of the candidates is
+    bit-identical to a single global sort):
+
+    1. local rank over (query_id, spark_partition_id): each scored corpus
+       partition sorts only its OWN rows and keeps its local top-k — the
+       per-reducer work is bounded by the input split size regardless of
+       corpus scale, and the sort fans out over |partitions| x |queries|
+       reducers instead of |queries|.
+    2. global rank over query_id on the surviving
+       |partitions| x |queries| x k rows — a constant-size tail stage.
+
+    Before this, the single global window funneled all |corpus| x |queries|
+    scored rows through |queries| reducers: the one measured super-linear
+    family (sf3->sf10 5.79x, SCALE_BENCH r5). The corpus-side scan remains
+    a single narrow stage; the query batch rides a broadcast."""
     q = _quantized(spark, sf_dir)
     queries = q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
@@ -78,11 +94,19 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("dot_q", _dot("q_qe", "c_qe"))
+        .select("query_id", "cand_id", _dot("q_qe", "c_qe").alias("dot_q"))
+        .withColumn("pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("cand_id"))
+    order = [F.desc("dot_q"), F.asc("cand_id")]
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    partial = (
+        scored.withColumn("lrank", F.row_number().over(w_local))
+        .filter(F.col("lrank") <= TOP_K)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "dot_q", F.col("rank").cast("long").alias("rank"))
     )

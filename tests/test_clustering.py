@@ -166,38 +166,37 @@ def test_ann_lsh_multiprobe_recall(spark, sf_smoke):
     assert r_multi >= r_bucket, f"multiprobe {r_multi:.2f} < exact-bucket {r_bucket:.2f}"
 
 
-def test_cosine_neardup_recall_vs_exhaustive(spark, sf_smoke):
-    """The banded sign-bucket candidate generation must recover most true
-    cos >= threshold pairs (one 4-bit band alone recovers ~14%). Truth is
-    the exhaustive quantized all-pairs check computed in numpy."""
+def test_cosine_dedup_no_false_positives_on_dupfree_corpus(spark, sf_smoke):
+    """The driver's embeddings contain NO true cos>=0.95 pairs (max observed
+    pairwise cosine ~0.6), so the production cosine dedup must return EXACTLY
+    zero pairs on them — the zero-false-positive half of the contract (the
+    exact integer verify step guarantees found <= truth; here truth is empty).
+    Recall on data WITH duplication is proven by
+    test_neardup_strict_recall_on_injected_dups below."""
     import numpy as np
 
     from phabricator_etl_spark.operators.dedup import (
-        COSINE_NEARDUP_X1E8,
         COSINE_SCALE,
+        COSINE_STRICT_X1E8,
         dedup_embedding_cosine,
     )
     from phabricator_etl_spark.sources.catalog import load_table
 
     pdf = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding").toPandas()
     Q = np.round(np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) * COSINE_SCALE)
-    ids = pdf["vec_id"].to_numpy()
     D = Q @ Q.T
-    iu = np.triu_indices(len(ids), k=1)
-    mask = D[iu] >= COSINE_NEARDUP_X1E8
-    truth = {
-        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
-        for i, j in zip(iu[0][mask], iu[1][mask])
-    }
-    found = {(r["a"], r["b"]) for r in dedup_embedding_cosine(spark, sf_smoke).collect()}
-    assert found <= truth, "detected pairs must be a subset of true pairs (exact verify step)"
-    assert truth, "smoke corpus has no true near-dup pairs — threshold too high"
-    recall = len(found) / len(truth)
-    assert recall >= 0.6, f"banded cosine dedup recall {recall:.2f} too low"
+    iu = np.triu_indices(len(pdf), k=1)
+    assert not (D[iu] >= COSINE_STRICT_X1E8).any(), (
+        "driver corpus unexpectedly contains true near-dups — this test's "
+        "premise (and the gate row's empty result) no longer holds"
+    )
+    found = dedup_embedding_cosine(spark, sf_smoke).collect()
+    assert found == [], f"false positives on a dup-free corpus: {found[:5]}"
 
 
 def test_neardup_strict_recall_on_injected_dups(spark, tmp_path):
-    """dedup_embedding_neardup (16-bit bands + occupancy cap + cos>=0.95)
+    """dedup_embedding_cosine (16-bit bands + occupancy cap + cos>=0.95;
+    imported here via its round-5 alias dedup_embedding_neardup)
     must recover most INJECTED true near-duplicates on a generated corpus
     (the driver's embeddings contain no cos>=0.95 pairs at all — max
     observed pairwise cosine is ~0.6 — so this operator needs data with
