@@ -235,12 +235,78 @@ GROUP BY c.n
 """
 
 
+def _chain_triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-degree triangle-rich graph over the customer keys: edges
+    (u, u+1) and (u, u+2) for every pair of EXISTING keys, canonical a < b.
+    Every consecutive key triple {i, i+1, i+2} closes a triangle, so the
+    graph carries Θ(n) triangles at degree ≤ 4 — the constant-degree scale
+    probe for the triangle family (r5 verdict #2: the same-nation fixture
+    grows degree ~n/23 by construction, Θ(n³) triangle work, so it can
+    never join the measured curve; real graphs hold average degree roughly
+    constant as they grow). Same probe pattern as graph_pagerank_chain /
+    graph_kcore_bipartite: identical operator core, linear fixture."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("n"))
+    nodes = c.select(F.col("n").alias("b"))
+    cand = c.select(F.col("n").alias("a"), (F.col("n") + 1).alias("b")).union(
+        c.select(F.col("n").alias("a"), (F.col("n") + 2).alias("b"))
+    )
+    # semi-join keeps only edges whose far endpoint exists (key space may
+    # have holes); broadcast is wrong here — nodes is corpus-sized — but the
+    # equi-join is a plain shuffle join AQE handles
+    return cand.join(nodes, "b", "left_semi").select("a", "b")
+
+
+def graph_triangles_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = triangle_corner_counts(_chain_triangle_edges(spark, sf_dir))
+    return counts.select(
+        F.col("n").cast("long").alias("c_custkey"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("deg").cast("long").alias("n_edges"),
+    )
+
+
+_CHAIN_EDGES_SQL = """
+  SELECT x.c_custkey AS a, y.c_custkey AS b
+  FROM customer x JOIN customer y ON y.c_custkey = x.c_custkey + 1
+  UNION ALL
+  SELECT x.c_custkey, y.c_custkey
+  FROM customer x JOIN customer y ON y.c_custkey = x.c_custkey + 2
+"""
+
+TRIANGLE_CHAIN_ORACLE = f"""
+WITH e AS ({_CHAIN_EDGES_SQL}),
+tri AS (
+  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+), corners AS (
+  SELECT n1 AS n FROM tri UNION ALL SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri
+), deg AS (
+  SELECT n, COUNT(*) AS deg
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+  GROUP BY n
+)
+SELECT CAST(c.n AS BIGINT) AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(MIN(d.deg) AS BIGINT) AS n_edges
+FROM corners c JOIN deg d ON d.n = c.n
+GROUP BY c.n
+"""
+
+
 TRIANGLE_QUERIES = [
     Q(
         "graph_triangle_count",
         graph_triangle_count,
         TRIANGLE_ORACLE,
         "degree-ordered node-iterator triangle counting (per-corner counts)",
+    ),
+    Q(
+        "graph_triangles_chain",
+        graph_triangles_chain,
+        TRIANGLE_CHAIN_ORACLE,
+        "triangle counting on a constant-degree chain graph (the at-scale probe for the triangle family)",
     ),
     Q(
         "graph_link_prediction",

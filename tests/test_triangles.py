@@ -57,3 +57,23 @@ def test_pseudorandom_graph_matches_bruteforce(spark):
     expect = _brute(pairs)
     got = {r.n: r.n_triangles for r in triangle_corner_counts(_edges_df(spark, pairs)).collect()}
     assert got == expect
+
+
+def test_chain_fixture_constant_degree_linear_triangles(spark, sf_smoke):
+    """The r6 scale-probe fixture must have the shape that makes it a valid
+    linearity probe: degree <= 4 everywhere and exactly n-2 triangles on a
+    contiguous key range (every consecutive triple closes one); interior
+    nodes sit in 3 triangles."""
+    from phabricator_etl_spark.operators.triangles import graph_triangles_chain
+
+    rows = {r.c_custkey: r for r in graph_triangles_chain(spark, sf_smoke).collect()}
+    assert rows, "probe produced no corners"
+    lo, hi = min(rows), max(rows)
+    # on a contiguous key range every node is a corner of >= 1 triangle
+    n = len(rows)
+    assert n == hi - lo + 1, "smoke customer keys expected contiguous"
+    assert all(r.n_edges <= 4 for r in rows.values()), "degree must stay constant-bounded"
+    total_corner_credits = sum(r.n_triangles for r in rows.values())
+    assert total_corner_credits == 3 * (n - 2), "chain graph must carry exactly n-2 triangles"
+    interior = [r for k, r in rows.items() if lo + 1 < k < hi - 1]
+    assert interior and all(r.n_triangles == 3 for r in interior)
