@@ -15,20 +15,40 @@ The fix is targeted: snapshot `sc.getPersistentRDDs()` ids around the
 checkpoint call, and dispose exactly the ids the checkpoint created once the
 NEXT round's state is materialized. Disposal invalidates the old DataFrame
 (a localCheckpoint is non-recomputable by design) — which is the point: it
-is garbage. The id-diff is sound on a single-threaded driver (the only mode
-this library runs queries in); a concurrent persist from another thread
-could be mis-captured, so keep CheckpointChain private to one query's
-execution.
+is garbage. The final round's state is intentionally never disposed — it
+backs the DataFrame returned to the caller.
 
-The final round's state is intentionally never disposed — it backs the
-DataFrame returned to the caller.
+Concurrency (r5 ADVICE): the id-diff is only sound if no OTHER persist
+lands inside the snapshot window. Two guards make that hold in a process
+that also runs pooled incremental builds (plans/incremental_runner.py):
+
+- a module-level lock serializes every tracked capture window, so two
+  threads' diffs can never interleave with each other;
+- CheckpointChain records its owning thread and asserts on step/dispose,
+  so a chain can't migrate across pool threads and dispose blocks another
+  thread still reads.
+
+An UNtracked persist (plain .localCheckpoint/.persist) from a concurrent
+thread during a capture window would still pollute the diff; the lock plus
+the rule "iterative operators always checkpoint through this module" keeps
+that from arising — pooled build steps that call connected_components etc.
+go through CheckpointChain and therefore through the lock.
 """
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame
+
+# Serializes every (snapshot, checkpoint, snapshot) capture window — see
+# module docstring. Coarse by design: the eager checkpoint job runs inside
+# the window, so concurrent iterative operators take turns checkpointing.
+# That trade is deliberate: rounds are shuffle-bound, the checkpoint
+# materialization is a small fraction of a round, and the alternative is
+# two threads disposing each other's LIVE blocks.
+_CAPTURE_LOCK = threading.Lock()
 
 
 def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
@@ -45,9 +65,10 @@ def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], Non
             out.add(it.next()._1())
         return out
 
-    before = ids()
-    ckpt = df.localCheckpoint(eager=True)
-    created = ids() - before
+    with _CAPTURE_LOCK:
+        before = ids()
+        ckpt = df.localCheckpoint(eager=True)
+        created = ids() - before
 
     def dispose() -> None:
         try:
@@ -70,14 +91,24 @@ class CheckpointChain:
     has materialized. Memory is O(2 states) instead of O(rounds). States
     handed out in the last two steps are never disposed (one of them backs
     the operator's return value). One chain per evolving state (labels,
-    ranks, edge set, ...).
+    ranks, edge set, ...), owned by the thread that created it.
     """
 
     def __init__(self) -> None:
         self._prev: Callable[[], None] | None = None
         self._cur: Callable[[], None] | None = None
+        self._owner = threading.get_ident()
+
+    def _assert_owner(self, op: str) -> None:
+        tid = threading.get_ident()
+        assert tid == self._owner, (
+            f"CheckpointChain.{op} from thread {tid}, but the chain is owned "
+            f"by thread {self._owner} — a chain must not cross threads "
+            "(it would dispose blocks the owner still reads)"
+        )
 
     def step(self, df: DataFrame) -> DataFrame:
+        self._assert_owner("step")
         ckpt, dispose = tracked_local_checkpoint(df)
         if self._prev is not None:
             self._prev()
@@ -88,6 +119,7 @@ class CheckpointChain:
         """Free both live generations — only for chains whose final state is
         NOT returned to the caller (e.g. a loop-internal helper table that
         dies with the loop)."""
+        self._assert_owner("dispose_all")
         for d in (self._prev, self._cur):
             if d is not None:
                 d()

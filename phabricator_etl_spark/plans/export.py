@@ -10,7 +10,10 @@ reproducible across runs, partitionings and row orders, any worker can
 route any row without coordination, and a re-export after an upstream fix
 touches only the shards whose documents changed.
 
-The manifest is the audit half: per-shard doc/token/byte counts plus an
+The manifest is the audit half: per-shard doc/token/CHARACTER counts (the
+``n_chars`` column is F.length, i.e. code points, which both engines agree
+on; byte counts would need octet_length and diverge from this on no
+metric that matters for token accounting) plus an
 order-free integrity signature (XOR of per-document content hashes — XOR
 because it is commutative/associative, so executor summation order cannot
 change it, and any single-document corruption flips it). Downstream

@@ -195,7 +195,17 @@ def run_incremental(
             if _dest_exists(spark, path):
                 # the stored revisions table carries its ym partition column;
                 # strip it so target and staging schemas line up for the merge
-                target = spark.read.parquet(path).drop("ym")
+                try:
+                    target = spark.read.parquet(path).drop("ym")
+                except Exception:
+                    # the path exists but holds no readable parquet (e.g. a
+                    # killed previous run left an empty/partial dir): treat
+                    # as first run rather than failing the whole batch. The
+                    # failed read does leave one ExecutionListenerBus log
+                    # line (the Spark 4 ObservationManager gotcha) — fine
+                    # for this corruption-recovery arm, which the happy path
+                    # never enters thanks to the FS-API probe above.
+                    target = None
             else:
                 target = None
             merged = merge_upsert(target, staging, key)

@@ -198,14 +198,32 @@ def jdbc_read(
 
 
 def _derby_stage(spark: SparkSession, sf_dir: str) -> str:
-    """Seed a Derby database with supplier + nation from ``sf_dir`` parquet
-    once per (process, sf) — marker-idempotent like formats._stage."""
+    """Seed a Derby database with supplier + nation from ``sf_dir`` parquet,
+    marker-idempotent like formats._stage. Content-addressed key (r5
+    ADVICE): the stage dir folds in a hash of the ABSOLUTE source path and
+    the source parquet mtimes, so two fixture roots sharing a leaf name
+    (/a/sf0.01 vs /b/sf0.01) stage separately, and a regenerated fixture
+    (newer mtime) restages instead of silently reusing stale rows."""
+    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
+    src = _os.path.abspath(sf_dir.rstrip("/"))
+    sig = _hashlib.md5(src.encode()).hexdigest()[:8]
+    for t in ("supplier", "nation"):
+        p = _os.path.join(src, f"{t}.parquet")
+        try:
+            mt = str(int(_os.stat(p).st_mtime)) if _os.path.isfile(p) else ",".join(
+                f"{f}:{int(_os.stat(_os.path.join(p, f)).st_mtime)}"
+                for f in sorted(_os.listdir(p))
+            )
+        except OSError:
+            mt = "missing"
+        sig = _hashlib.md5(f"{sig}|{t}|{mt}".encode()).hexdigest()[:8]
     base = _os.path.join(
-        _tempfile.gettempdir(), f"jdbc_stage_{_os.path.basename(sf_dir.rstrip('/'))}"
+        _tempfile.gettempdir(),
+        f"jdbc_stage_{_os.path.basename(src)}_{sig}",
     )
     marker = _os.path.join(base, "_STAGED_v1")
     db_dir = _os.path.join(base, "db")

@@ -62,3 +62,27 @@ def test_connected_components_no_block_accumulation(spark):
     out = connected_components(v, e, local_threshold=0)
     assert out.filter(F.col("component") != 0).count() == 0
     assert _n_persistent(spark) - base <= 2
+
+
+def test_chain_rejects_foreign_thread(spark):
+    """A CheckpointChain must refuse step/dispose from a thread other than
+    its creator (r5 ADVICE: a pooled build step stepping another thread's
+    chain could dispose blocks that thread still reads)."""
+    import threading
+
+    from phabricator_etl_spark.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
+    chain.step(spark.range(10))
+    errs: list[BaseException] = []
+
+    def misuse():
+        try:
+            chain.step(spark.range(5))
+        except AssertionError as e:
+            errs.append(e)
+
+    t = threading.Thread(target=misuse)
+    t.start()
+    t.join()
+    assert len(errs) == 1 and "owned by thread" in str(errs[0])

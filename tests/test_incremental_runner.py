@@ -64,3 +64,25 @@ def test_watermark_skips_unchanged(spark):
         assert 0 < n_changed < total, (
             f"watermark must prune already-loaded revisions ({n_changed}/{total})"
         )
+
+
+def test_corrupted_dest_falls_back_to_first_run(spark):
+    """A destination table dir that EXISTS but holds no readable parquet
+    (the footprint of a killed previous run) must be treated as a first run
+    (insert path), not fail the batch (r5 ADVICE: the _dest_exists probe
+    alone can't distinguish 'present' from 'present and readable')."""
+    import os
+
+    full_src, early_src = _split_world(spark, seed=31)
+    with tempfile.TemporaryDirectory(prefix="corrupt_") as d1, tempfile.TemporaryDirectory(prefix="ref_") as d2:
+        # simulate the killed run: an existing dir with a garbage file
+        for name in ("diffs", "comments"):
+            os.makedirs(os.path.join(d1, name), exist_ok=True)
+            with open(os.path.join(d1, name, "part-junk"), "w") as f:
+                f.write("not parquet\n")
+        got = R.run_incremental(spark, full_src, d1, now=NOW)
+        ref = R.run_incremental(spark, full_src, d2, now=NOW, full=True)
+        for name in R.MERGE_KEYS:
+            assert _rows(got[name]) == _rows(ref[name]), (
+                f"{name}: recovery run over corrupted dest != clean full run"
+            )
