@@ -158,9 +158,17 @@ FROM orders
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (status, priority): per-pair, per-status, grand total.
     Spark expands grouping sets via a single Expand node — one scan, one
-    shuffle, regardless of the number of sets."""
+    shuffle, regardless of the number of sets.
+
+    Empty-relation patch (r5 verdict #5): the SQL standard's () grouping
+    set emits one grand-total row even over an empty relation (DuckDB and
+    Postgres do); Spark's rollup emits nothing. Restore standard semantics
+    declaratively: a CONSTANT grand-total row (COUNT=0, SUM=NULL — the only
+    possible () aggregate of zero rows) survives a left-anti join against
+    ``input.limit(1)``, i.e. exactly when the input has no rows. No driver
+    branch, and at scale the probe reads ~one row of one partition."""
     o = _t(spark, sf_dir, "orders")
-    return (
+    rolled = (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -173,6 +181,14 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+    empty_total = spark.range(1).select(
+        F.lit("<all>").alias("status"),
+        F.lit("<all>").alias("priority"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    probe = o.select(F.lit(1).alias("one")).limit(1)
+    return rolled.unionByName(empty_total.join(probe, F.lit(True), "left_anti"))
 
 
 ROLLUP_ORACLE = """

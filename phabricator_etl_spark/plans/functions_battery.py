@@ -281,7 +281,7 @@ def fn_cube_rollup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotals hash bit-exactly."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return (
+    cubed = (
         o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
         .cube("o_orderpriority", "o_orderstatus")
         .agg(
@@ -290,6 +290,20 @@ def fn_cube_rollup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+    # Empty-relation patch (r5 verdict #5, same construction as
+    # extensions.agg_rollup): the standard's () grouping set (gid=3) emits
+    # one zero-count row over an empty relation; Spark's cube emits none.
+    # The constant patch row survives the anti-join against input.limit(1)
+    # exactly when the input is empty.
+    empty_total = spark.range(1).select(
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(3).cast("long").alias("gid"),
+        F.lit(0).cast("long").alias("n_orders"),
+        F.lit(None).cast("long").alias("sum_cents"),
+    )
+    probe = o.select(F.lit(1).alias("one")).limit(1)
+    return cubed.unionByName(empty_total.join(probe, F.lit(True), "left_anti"))
 
 
 FN_CUBE_ORACLE = """

@@ -10,11 +10,14 @@ zero-file directory) and 6 silent result divergences (NULL-vs-0 aggregates,
 fabricated-row oracles) — the same bug class round-4 ADVICE flagged for
 PIVOT's NULL-on-absent-combination semantics.
 
-Known engine-level divergences are pinned exactly (and asserted to still
-diverge, so the allowlist cannot rot): Spark's CUBE/ROLLUP on an empty
-relation emits NO rows, while the SQL standard (and DuckDB/Postgres) emit
-the global () grouping-set row. That is Spark behavior, not a query bug —
-the two queries exist to certify Spark's grouping-set feature.
+The allowlist below is EMPTY as of round 6: the two formerly-pinned
+engine-level divergences (Spark's CUBE/ROLLUP on an empty relation emits NO
+rows where the SQL standard and DuckDB/Postgres emit the global ()
+grouping-set row) are now patched in the queries themselves — a constant
+grand-total row anti-joined against input.limit(1), surviving exactly when
+the relation is empty (extensions.agg_rollup,
+functions_battery.fn_cube_rollup_matrix). The mechanism stays so any future
+pin still can't rot.
 """
 
 from __future__ import annotations
@@ -32,13 +35,9 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# query -> (spark_rows, duck_rows) pinned divergence
-KNOWN_DIVERGENCES = {
-    # Spark groupBy(rollup/cube) on an empty relation yields 0 rows; the SQL
-    # standard's () grouping set yields the 1-row grand total (DuckDB).
-    "agg_rollup": (0, 1),
-    "fn_cube_rollup_matrix": (0, 1),
-}
+# query -> (spark_rows, duck_rows) pinned divergence (empty since r6 — see
+# module docstring; entries here must STILL diverge or the test fails)
+KNOWN_DIVERGENCES: dict[str, tuple[int, int]] = {}
 
 # sf-independent inputs (generated fixture world, not the sf tables): the
 # empty world exercises nothing new and they are the most expensive entries
