@@ -315,3 +315,69 @@ def generate(spark: SparkSession, *, seed: int = 7, n_users: int = 40, n_project
             cfs, _schema(("objectPHID", S), ("fieldIndex", S), ("fieldValue", S))
         ),
     )
+
+
+def inject_hot_object(src: PhabSources, *, n_hot: int = 10_000,
+                      id_base: int = 1_000_000) -> PhabSources:
+    """Skew a generated world around ONE hot revision — the real-world shape
+    (a mega-review with ~10k comments and a huge reviewer fan-out) that a
+    uniform fixture can never produce (r5 verdict #8).
+
+    The lowest-id revision receives:
+      - n_hot comments: EVEN ordinals bound directly via revisionPHID
+        (build_comments arm 1), ODD ordinals reachable only through a
+        core:comment transaction (arm 2 / J7) — so BOTH OR-join arms carry
+        the hot key;
+      - n_hot reviewer rows cycling over the world's real users (J4).
+
+    Rows are built with spark.range (no driver-side 10k-tuple upload), ids
+    offset by ``id_base`` to stay disjoint from generator ids. The returned
+    world is schema-identical, so every pipeline and the e2e runner accept
+    it unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    spark = src.revision.sparkSession
+    hot = src.revision.orderBy("id").select("id", "phid").first()
+    hot_phid = hot["phid"]
+
+    r = spark.range(n_hot)
+    comments = r.select(
+        (F.lit(id_base) + F.col("id")).alias("id"),
+        F.concat(F.lit("PHID-XACT-HOT-"), F.col("id")).alias("phid"),
+        F.when(F.col("id") % 2 == 0, F.lit(hot_phid)).alias("revisionPHID"),
+        F.lit(None).cast("long").alias("changesetID"),
+        F.concat(F.lit("PHID-USER-"), F.format_string("%04d", (F.col("id") % 40))).alias("authorPHID"),
+        (F.lit(T0) + F.col("id")).alias("dateCreated"),
+        F.concat(F.lit("hot comment "), F.col("id")).alias("content"),
+        F.lit("{}").alias("attributes"),
+    )
+    cc_txns = (
+        r.filter(F.col("id") % 2 == 1)
+        .select(
+            (F.lit(id_base) + F.col("id")).alias("id"),
+            F.lit(hot_phid).alias("objectPHID"),
+            F.lit("core:comment").alias("transactionType"),
+            F.concat(F.lit("PHID-XACT-HOT-"), F.col("id")).alias("commentPHID"),
+            F.concat(F.lit("PHID-USER-"), F.format_string("%04d", (F.col("id") % 40))).alias("authorPHID"),
+            (F.lit(T0) + F.col("id")).alias("dateCreated"),
+            F.lit(None).cast("string").alias("oldValue"),
+            F.lit(None).cast("string").alias("newValue"),
+        )
+    )
+    reviewers = r.select(
+        (F.lit(id_base) + F.col("id")).alias("id"),
+        F.lit(hot_phid).alias("revisionPHID"),
+        F.concat(F.lit("PHID-USER-"), F.format_string("%04d", (F.col("id") % 40))).alias("reviewerPHID"),
+        F.lit("added").alias("reviewerStatus"),
+        (F.lit(T0) + F.col("id")).alias("dateCreated"),
+        (F.lit(T0) + F.col("id")).alias("dateModified"),
+        F.lit(None).cast("string").alias("lastActionDiffPHID"),
+        F.lit(None).cast("string").alias("lastCommentDiffPHID"),
+    )
+    return PhabSources(**{
+        **src.__dict__,
+        "transaction_comment": src.transaction_comment.unionByName(comments),
+        "differential_transaction": src.differential_transaction.unionByName(cc_txns),
+        "reviewer": src.reviewer.unionByName(reviewers),
+    })

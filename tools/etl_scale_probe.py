@@ -36,13 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from phabricator_etl_spark.session import get_spark  # noqa: E402
-from phabricator_etl_spark.sources.phab_fixtures import PhabSources, generate  # noqa: E402
+from phabricator_etl_spark.sources.phab_fixtures import PhabSources, generate, inject_hot_object  # noqa: E402
 from phabricator_etl_spark.plans import incremental_runner as R  # noqa: E402
 
 _END = 2_000_000_000
 
 
-def probe(mult: int) -> dict:
+def probe(mult: int, hot: int = 0) -> dict:
+    """One timed world. ``hot`` > 0 additionally injects that many comments
+    (split across both OR-join arms) and reviewer rows onto ONE revision —
+    the real-world mega-review shape (r5 verdict #8); correctness under the
+    same skew is pytest-gated in tests/test_skew_world.py."""
     spark = get_spark("etl-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     src = generate(
@@ -53,6 +57,8 @@ def probe(mult: int) -> dict:
         n_repos=8 * mult,
         n_revisions=120 * mult,
     )
+    if hot:
+        src = inject_hot_object(src, n_hot=hot)
     # materialize sources so generation/driver-upload cost stays out of the
     # timed region (the gate fixture layer caches the same way)
     src = PhabSources(**{k: v.localCheckpoint(eager=True) for k, v in src.__dict__.items()})
@@ -84,6 +90,7 @@ def probe(mult: int) -> dict:
     rec = {
         "mult": mult,
         "n_revisions": 120 * mult,
+        "hot": hot,
         "full_s": round(full_s, 2),
         "incremental_s": round(incr_s, 2),
         "rows_out": sum(n_rows.values()),
@@ -93,7 +100,14 @@ def probe(mult: int) -> dict:
 
 
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    # args: multipliers; the literal "skew" adds a hot-object world row
+    # (10k comments/reviewers on one revision at the base multiplier) so the
+    # skewed e2e has a bench row next to the uniform curve.
+    args = sys.argv[1:]
+    skew = "skew" in args
+    mults = [int(a) for a in args if a != "skew"] or ([] if skew else [1, 10, 100])
+    if skew:
+        probe(1, hot=10_000)
     recs = [probe(m) for m in mults]
     for a, b in zip(recs, recs[1:]):
         step = b["mult"] / a["mult"]
