@@ -180,9 +180,12 @@ def run_incremental(
         "comments": P.build_comments(world, users),
         "review_requests": P.build_review_requests(world, users, projects),
         "transactions": P.build_transactions(world, users, projects),
-        # snapshots run over the UNFILTERED world every time
-        "review_groups": P.build_review_groups(src, P.dim_users(src)),
-        "project_transactions": P.build_project_transactions(src, P.dim_users(src), P.dim_projects(src)),
+        # snapshots run over the UNFILTERED world every time; the pinned
+        # user/project dims are safe to share — they read only the
+        # user/user_email/project tables, which the changed-revision filter
+        # never touches (src and the expanded world agree on them)
+        "review_groups": P.build_review_groups(src, users),
+        "project_transactions": P.build_project_transactions(src, users, projects),
     }
 
     def _merge_and_write(name: str, df: DataFrame) -> DataFrame:
