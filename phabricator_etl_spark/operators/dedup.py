@@ -609,49 +609,79 @@ def _strict_bucket(qcol: F.Column, band: int) -> F.Column:
     return bucket
 
 
+# Coarse grouping for the bucket-local verify: 2^COS_GROUP_SHIFT true
+# buckets share one applyInPandas group (inner pandas groupby splits them
+# back), trading per-group Arrow overhead (4*65536 tiny groups otherwise)
+# against group width. Semantics-free: pairs still form only inside a true
+# (band, bucket).
+COS_GROUP_SHIFT = 6
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify-where-the-postings-live (r6 rework, output-identical).
+
+    The previous plan generated id-only candidate pairs from the band
+    equi-join, dedup'd them, then joined the quantized vectors back in ONCE
+    PER SIDE — at sf30 that vector fetch shuffles ~2 x |pairs| x 520 B
+    (~28 GB for 54M random-collision pairs: candidates grow n²/2^bits once
+    bucket occupancy n/65536 outruns the collision constant), measured 6.0x
+    on the 3.0x-linear sf10->sf30 step. This form ships each posting's
+    vector ONCE into a (band, bucket) group — shuffle O(|postings| x width),
+    3 GB at sf30 — and verifies inside the group with one int64 Gram matmul,
+    emitting only threshold survivors; the final distinct sees survivors
+    (output-sized), not candidates. The occupancy cap becomes a group-size
+    check (identical semantics: an over-full bucket contributes nothing).
+    The einsum verify work is still Σ occ² — inherent to banding at fixed
+    bits; COS_STRICT_BITS is the dial that keeps occupancy constant as the
+    corpus grows (16 bits ~ fine to ~10M vectors at cap 500)."""
+    import numpy as np
+    import pandas as pd
+
     e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _quantize(F.col("embedding")).alias("qe"),
-    ).localCheckpoint(eager=True)
+    )
     buckets = F.array(*[_strict_bucket(F.col("qe"), t) for t in range(COS_STRICT_BANDS)])
-    long = q.select("vec_id", F.posexplode(buckets).alias("band", "bucket"))
-    # occupancy cap BEFORE the self-join: bounded per-key fan-out no matter
-    # how the data clusters (the skew backstop AQE can't provide for a
-    # legitimately hot logical key)
-    occ = (
-        long.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") <= COS_MAX_BUCKET)
-        .select("band", "bucket")
-    )
-    kept = long.join(occ, ["band", "bucket"])
-    cand = (
-        kept.alias("x")
-        .join(kept.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-        .distinct()
-    )
-    qa = q.select(F.col("vec_id").alias("a"), F.col("qe").alias("qa"))
-    qb = q.select(F.col("vec_id").alias("b"), F.col("qe").alias("qb"))
-    paired = cand.join(qa, "a").join(qb, "b")
+    long = q.select(
+        "vec_id", "qe", F.posexplode(buckets).alias("band", "bucket")
+    ).withColumn("grp", F.shiftright("bucket", COS_GROUP_SHIFT))
 
-    def _score(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in pdf.groupby("bucket", sort=False):
+            n = len(g)
+            if n < 2 or n > COS_MAX_BUCKET:
+                continue  # singleton or capped-out bucket: no pairs
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            v = np.vstack(g["qe"].to_numpy()).astype(np.int64)
+            gram = v @ v.T
+            i, j = np.triu_indices(n, k=1)
+            hit = gram[i, j] >= COSINE_STRICT_X1E8
+            if not hit.any():
                 continue
-            va = np.vstack(pdf["qa"].to_numpy()).astype(np.int64)
-            vb = np.vstack(pdf["qb"].to_numpy()).astype(np.int64)
-            d = np.einsum("ij,ij->i", va, vb)
-            out = pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "dot_q": d})
-            yield out[out["dot_q"] >= COSINE_STRICT_X1E8]
+            ai, bj = ids[i[hit]], ids[j[hit]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "a": np.minimum(ai, bj),
+                        "b": np.maximum(ai, bj),
+                        "dot_q": gram[i[hit], j[hit]],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "dot_q": pd.Series(dtype="int64")})
+        return pd.concat(frames)
 
-    return paired.mapInPandas(_score, "a long, b long, dot_q long")
+    survivors = long.groupBy("band", "grp").applyInPandas(
+        _verify, "a long, b long, dot_q long"
+    )
+    # a pair can survive in several bands with the SAME exact dot — dedup
+    # the (output-sized) survivor set, not the candidate set
+    return survivors.distinct()
 
 
 # Backward-compat alias: `dedup_embedding_neardup` was the round-5 name for
