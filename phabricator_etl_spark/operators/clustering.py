@@ -362,6 +362,125 @@ WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster-scoped
+# near-duplicate removal keeping the MOST CENTRAL representative.
+#
+# Composition of two proven primitives: the integer-exact Lloyd fit above
+# (cells + exact distance-to-centroid d) and the banded Gram verify from
+# operators/dedup.py (sign-bit LSH bands bound the pairwise work inside each
+# cell). A vector is DROPPED iff some peer in the same cell shares at least
+# one (band, bucket), has quantized dot >= SEM_TAU, and is strictly more
+# central ((d, vec_id) lexicographically smaller) — so within any near-dup
+# clique exactly the most-central member survives, deterministically, with
+# no transitive closure required.
+#
+# 100 TB shape: the model (k centroids) broadcasts; assignment stays in the
+# scan stage (assign_cells mapInPandas matmul); candidate generation is an
+# equi-join on (cell, band, bucket) with the same occupancy cap as the
+# production cosine dedup, so per-bucket work is bounded and k (a model
+# parameter) is the dial that keeps cell occupancy constant as the corpus
+# grows. Output is always exactly n rows (vec_id, cell, kept) — never
+# pair-shaped, so output volume is Theta(n) at every threshold.
+# ---------------------------------------------------------------------------
+
+SEM_TAU_X1E8 = 10_000_000  # cos >= 0.10 at quantized-dot scale 1e8: low on
+# purpose — the driver corpus is spread random unit vectors (max pairwise
+# cos ~0.6 overall, lower within banded buckets), so a production 0.95 would
+# never exercise the selection rule here; injected-duplicate corpora in
+# tests/test_clustering.py prove the high-threshold behavior.
+SEM_MAX_BUCKET = 500  # occupancy cap, same semantics as dedup.COS_MAX_BUCKET
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped near-dup removal; returns (vec_id, cell, kept 0/1)."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import COS_GROUP_SHIFT, COS_STRICT_BANDS, _strict_bucket
+
+    v = _vectors(spark, sf_dir)
+    centroids = _fitted(spark, sf_dir)
+    assigned = assign_cells(v, centroids)  # vec_id, vec (shifted), cell, d
+    # unshift for the dot product: cosine is translation-SENSITIVE, so the
+    # sign bands and the Gram run on round(x * 1e4), not the +OFFSET_Q form
+    u = assigned.select(
+        "vec_id",
+        "cell",
+        "d",
+        F.transform("vec", lambda x: x - F.lit(OFFSET_Q)).alias("qe"),
+    )
+    buckets = F.array(*[_strict_bucket(F.col("qe"), t) for t in range(COS_STRICT_BANDS)])
+    long = u.select(
+        "vec_id", "cell", "d", "qe", F.posexplode(buckets).alias("band", "bucket")
+    ).withColumn("grp", F.shiftright("bucket", COS_GROUP_SHIFT))
+
+    def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        # cell and band are group-constant; the true key inside is bucket
+        for _, g in pdf.groupby("bucket", sort=False):
+            n = len(g)
+            if n < 2 or n > SEM_MAX_BUCKET:
+                continue
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            dd = g["d"].to_numpy(dtype=np.int64)
+            V = np.vstack(g["qe"].to_numpy()).astype(np.int64)
+            sim = (V @ V.T) >= SEM_TAU_X1E8
+            np.fill_diagonal(sim, False)
+            more_central = (dd[None, :] < dd[:, None]) | (
+                (dd[None, :] == dd[:, None]) & (ids[None, :] < ids[:, None])
+            )
+            dropped = (sim & more_central).any(axis=1)
+            if dropped.any():
+                out.append(pd.DataFrame({"vec_id": ids[dropped]}))
+        if not out:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        return pd.concat(out)
+
+    losers = (
+        long.groupBy("cell", "band", "grp")
+        .applyInPandas(_losers, "vec_id long")
+        .distinct()
+    )
+    return u.join(losers.withColumn("dr", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.when(F.col("dr").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
+    )
+
+
+def _semantic_oracle() -> str:
+    from .dedup import COS_STRICT_BANDS, _strict_band_sql
+
+    lng = "\nUNION ALL\n".join(
+        f"SELECT vec_id, cell, d, qe, {t} AS band, {_strict_band_sql(t)} AS bucket FROM u"
+        for t in range(COS_STRICT_BANDS)
+    )
+    # MATERIALIZED: kept is referenced twice (self-join) and u three times;
+    # DuckDB inlines CTEs by default, which re-runs the unrolled fit per
+    # reference (measured 19 s -> 1.0 s at sf0.01 with materialization)
+    return f"""
+WITH {_fit_sql()},
+{_final_assign_sql()},
+u AS MATERIALIZED (
+  SELECT vec_id, cell, d, list_transform(qe, x -> x - {OFFSET_Q}) AS qe FROM asgF
+),
+lng AS MATERIALIZED ({lng}),
+occ AS (SELECT cell, band, bucket FROM lng GROUP BY 1, 2, 3 HAVING COUNT(*) <= {SEM_MAX_BUCKET}),
+kept AS MATERIALIZED (SELECT l.* FROM lng l JOIN occ USING (cell, band, bucket)),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM kept x JOIN kept y ON x.cell = y.cell AND x.band = y.band AND x.bucket = y.bucket
+   AND x.vec_id <> y.vec_id
+   AND (y.d < x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
+   AND list_sum(list_transform(range(1, 65), j -> x.qe[j] * y.qe[j])) >= {SEM_TAU_X1E8}
+)
+SELECT u.vec_id, CAST(u.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM u LEFT JOIN dropped dr ON dr.vec_id = u.vec_id
+"""
+
+
 CLUSTERING_QUERIES = [
     Q(
         "kmeans_cells",
@@ -374,5 +493,11 @@ CLUSTERING_QUERIES = [
         ann_ivf_kmeans,
         ANN_IVF_KMEANS_ORACLE,
         "IVF search over learned integer centroids",
+    ),
+    Q(
+        "dedup_semantic_kmeans",
+        dedup_semantic_kmeans,
+        _semantic_oracle(),
+        "SemDeDup: cluster-scoped near-dup removal, most-central survivor",
     ),
 ]

@@ -300,3 +300,47 @@ def test_incremental_minhash_protocol_invariants(spark):
         if d % INCR_STORE_MOD < INCR_STORE_CUT
     )
     assert best * 2 >= NUM_MINHASHES
+
+
+def test_semantic_dedup_cross_engine_on_injected_dups(spark, tmp_path):
+    """dedup_semantic_kmeans on a corpus with PLANTED near-duplicates:
+    (a) Spark output must match the DuckDB oracle EXACTLY on this second,
+    duplication-bearing corpus (the sf gate corpus is spread — only ~2
+    drops fire there), and (b) the selection rule must actually fire:
+    planted dups are near-identical vectors, so they land in the same cell
+    and the same sign buckets, and the less-central member must drop."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    from phabricator_etl_spark.operators.clustering import (
+        _semantic_oracle,
+        dedup_semantic_kmeans,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_scale_data", os.path.join(repo, "tools", "gen_scale_data.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    out = str(tmp_path / "semdedup")
+    gen.generate(0.04, out, skew=False)  # 2000 vectors, ~40 injected dups
+
+    spdf = dedup_semantic_kmeans(spark, out).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{out}/embeddings.parquet'"
+    )
+    orc = con.sql(_semantic_oracle()).df()
+
+    def key(pdf):
+        cols = sorted(pdf.columns)
+        return sorted(tuple(int(v) for v in t) for t in pdf[cols].itertuples(index=False, name=None))
+
+    assert key(spdf) == key(orc), "Spark and DuckDB disagree on the injected-dup corpus"
+    n_dropped = int((spdf["kept"] == 0).sum())
+    assert n_dropped >= 10, f"planted near-dups must trigger drops (got {n_dropped})"
+    # exactly-one-survivor sanity: more survivors than drops (dups are pairs)
+    assert int((spdf["kept"] == 1).sum()) > n_dropped
