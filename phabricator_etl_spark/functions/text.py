@@ -453,6 +453,130 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Naive-Bayes text classifier trained AND applied in-engine: the
+# fasttext-style linear-filter shape every production corpus pipeline runs
+# (CCNet / LLaMA quality and language filters) — a per-token weight table
+# learned from labeled data, broadcast-joined against the corpus, summed per
+# document. Here the label is lang == 'en' (the corpus carries its own
+# labels), so train == apply corpus and the oracle needs no side model.
+#
+# Float determinism: same contract as the bigram LM above — each log term
+# is QUANTIZED to integer milli-nats (floor(1e3 * ln p), ~2e-12 per-term
+# engine-flake odds at this grid), weights and priors are exact int64 from
+# there on, and the document score is an order-free integer sum.
+#
+# Scale: the weight table is vocabulary-sized (Heaps' law) — NO forced
+# broadcast, AQE picks the join strategy from runtime sizes (the measured
+# text_bigram_lm_score lesson); scoring is one explode + one join + one
+# doc_id aggregation. Linear, no corpus self-join.
+#
+# Honest accuracy note: the driver's synthetic documents draw every lang
+# from ONE shared vocabulary (a zh doc contains "the" as readily as an en
+# doc), so train accuracy here is ~0.62 vs a 0.56 majority baseline — the
+# corpus, not the model, is the ceiling. Learning capability is proven in
+# tests/test_corpus.py::test_nb_classifier_learns_separable_corpus on a
+# class-distinct-vocabulary fixture (same injected-signal pattern as the
+# near-dup recall tests).
+# ---------------------------------------------------------------------------
+
+NB_POS_LANG = "en"
+
+
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("lang_true"),
+        (F.col("lang") == NB_POS_LANG).alias("pos"),
+        F.explode(_tokens()).alias("w"),
+    )
+    cls = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("c0"),
+    )
+    # class token totals + |V| + doc-count priors: two tiny aggregates on a
+    # broadcast 1-row scalar each (the sanctioned pattern, no driver count)
+    totals = cls.agg(
+        F.sum("c1").cast("long").alias("t1"),
+        F.sum("c0").cast("long").alias("t0"),
+        F.count(F.lit(1)).cast("long").alias("vs"),
+    )
+    priors = d.agg(
+        F.sum(F.when(F.col("lang") == NB_POS_LANG, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("lang") == NB_POS_LANG, 0).otherwise(1)).cast("long").alias("n0"),
+    )
+    q = lambda p: F.floor(F.lit(1_000.0) * F.log(p)).cast("long")  # noqa: E731
+    weights = cls.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            q((F.col("c1") + 1).cast("double") / (F.col("t1") + F.col("vs")).cast("double"))
+            - q((F.col("c0") + 1).cast("double") / (F.col("t0") + F.col("vs")).cast("double"))
+        ).alias("wq"),
+    )
+    prior_q = q((F.col("n1") + 1).cast("double") / (F.col("n0") + 1).cast("double"))
+    return (
+        tok.join(weights, "w")
+        .groupBy("doc_id", "lang_true")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("wq").cast("long").alias("evidence_milli"),
+        )
+        .crossJoin(F.broadcast(priors.select(prior_q.alias("pq"))))
+        .select(
+            "doc_id",
+            "lang_true",
+            "n_tokens",
+            (F.col("evidence_milli") + F.col("pq")).alias("score_milli"),
+            F.when(F.col("evidence_milli") + F.col("pq") >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pred_pos"),
+        )
+    )
+
+
+NB_CLASSIFIER_ORACLE = rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_true,
+         lang = '{NB_POS_LANG}' AS pos,
+         unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents
+), cls AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c0
+  FROM tok GROUP BY w
+), totals AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+         CAST(COUNT(*) AS BIGINT) AS vs
+  FROM cls
+), priors AS (
+  SELECT CAST(SUM(CASE WHEN lang = '{NB_POS_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN lang = '{NB_POS_LANG}' THEN 0 ELSE 1 END) AS BIGINT) AS n0
+  FROM documents
+), weights AS (
+  SELECT w,
+         CAST(FLOOR(1000.0 * LN(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + vs AS DOUBLE))) AS BIGINT)
+       - CAST(FLOOR(1000.0 * LN(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + vs AS DOUBLE))) AS BIGINT) AS wq
+  FROM cls CROSS JOIN totals
+), scored AS (
+  SELECT t.doc_id, t.lang_true,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wq) AS BIGINT) AS evidence_milli
+  FROM tok t JOIN weights USING (w)
+  GROUP BY t.doc_id, t.lang_true
+)
+SELECT doc_id, lang_true, n_tokens,
+       evidence_milli + pq AS score_milli,
+       CAST(CASE WHEN evidence_milli + pq >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
+FROM scored CROSS JOIN (
+  SELECT CAST(FLOOR(1000.0 * LN(CAST(n1 + 1 AS DOUBLE) / CAST(n0 + 1 AS DOUBLE))) AS BIGINT) AS pq
+  FROM priors
+)
+"""
+
+
 TEXT_QUERIES = [
     Q("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE, "token/char/punct counting"),
     Q("text_lang_id", text_lang_id, LANG_ID_ORACLE, "marker-token language ID"),
@@ -461,4 +585,5 @@ TEXT_QUERIES = [
     Q("text_repetition_stats", text_repetition_stats, REPETITION_ORACLE, "Gopher-style intra-doc repetition signals"),
     Q("text_curriculum_bins", text_curriculum_bins, CURRICULUM_ORACLE, "deterministic quality-decile curriculum binning"),
     Q("text_bigram_lm_score", text_bigram_lm_score, _bigram_lm_oracle(), "self-trained bigram-LM NLL quality score (integer milli-nats)"),
+    Q("text_nb_classifier", text_nb_classifier, NB_CLASSIFIER_ORACLE, "in-engine naive-Bayes language classifier (train + apply, integer milli-nats)"),
 ]

@@ -83,11 +83,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file-stream source wants a DIRECTORY it can poll for arriving files
     (that's the tailing semantics); the driver data is one file per table in
     a shared dir, so stage a per-table symlink directory."""
-    stage = os.path.join(tempfile.gettempdir(), f"stream_src_{os.path.basename(sf_dir.rstrip('/'))}_events")
+    # Content-addressed stage key (same convention as sources/jdbc._derby_stage):
+    # keyed on the ABSOLUTE fixture path, not its basename — two roots sharing
+    # a leaf name (e.g. two pytest tmp dirs both ending in sf0-empty) must not
+    # collide. islink (not exists) guards re-linking: exists() follows the
+    # symlink and returns False once the old target is garbage-collected,
+    # which made the subsequent symlink() die with FileExistsError on the
+    # dangling link it failed to see.
+    import hashlib
+
+    src = os.path.abspath(sf_dir.rstrip("/"))
+    sig = hashlib.md5(src.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"stream_src_{sig}_events")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    target = os.path.join(src, "events.parquet")
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.remove(link)
+            os.symlink(target, link)
+    elif not os.path.exists(link):
+        os.symlink(target, link)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = spark.readStream.format("parquet").schema(raw_schema).load(stage)
     ts_type = dict(df.dtypes)["ts"]

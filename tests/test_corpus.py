@@ -73,3 +73,60 @@ def test_normalize_is_idempotent(spark, sf_smoke):
 
     out = corpus_normalize_text(spark, sf_smoke)
     assert out.filter(F.col("n_chars_norm") > F.col("n_chars_raw")).count() == 0
+
+
+def test_nb_classifier_learns_separable_corpus(spark, tmp_path):
+    """text_nb_classifier on a corpus whose classes have genuinely distinct
+    vocabularies must (a) reach >= 0.95 train accuracy (the driver corpus
+    can't show this: every lang draws from one shared vocabulary, ~0.62
+    ceiling) and (b) agree with the DuckDB oracle on this second corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phabricator_etl_spark.functions.text import (
+        NB_CLASSIFIER_ORACLE,
+        text_nb_classifier,
+    )
+
+    en_vocab = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    de_vocab = ["der", "schnelle", "braune", "fuchs", "springt", "ueber", "faule", "hund"]
+    shared = ["data", "table", "row"]
+    rows = []
+    for i in range(300):
+        pos = i % 3 != 0  # 200 en, 100 de
+        vocab = en_vocab if pos else de_vocab
+        # deterministic word mix: mostly class vocab, some shared noise
+        words = [vocab[(i + j) % len(vocab)] for j in range(12)]
+        words += [shared[(i + j) % len(shared)] for j in range(4)]
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(words),
+                "lang": "en" if pos else "de",
+                "source": "srcA",
+                "n_chars": 0,
+            }
+        )
+    out = str(tmp_path / "sep")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows), f"{out}/documents.parquet")
+
+    spdf = text_nb_classifier(spark, out).toPandas()
+    spdf["true_pos"] = (spdf["lang_true"] == "en").astype(int)
+    acc = float((spdf["pred_pos"] == spdf["true_pos"]).mean())
+    assert acc >= 0.95, f"separable-corpus train accuracy {acc:.2f} below floor"
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{out}/documents.parquet'")
+    orc = con.sql(NB_CLASSIFIER_ORACLE).df()
+    k = lambda p: sorted(  # noqa: E731
+        tuple(str(v) for v in t)
+        for t in p[sorted(["doc_id", "lang_true", "n_tokens", "score_milli", "pred_pos"])]
+        .itertuples(index=False, name=None)
+    )
+    assert k(spdf.astype({"doc_id": "int64"})[["doc_id", "lang_true", "n_tokens", "score_milli", "pred_pos"]]) == k(
+        orc.astype({"doc_id": "int64"})[["doc_id", "lang_true", "n_tokens", "score_milli", "pred_pos"]]
+    )
