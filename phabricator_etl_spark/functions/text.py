@@ -454,6 +454,80 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# BPE-style pre-tokenization: the GPT-2 pre-tokenizer regex, simplified to
+# the intersection of Java regex (Spark) and RE2 (DuckDB) — no lookahead
+# (RE2 lacks it), ASCII classes (unicode case/category tables can differ
+# between engines). Token-COUNT statistics are what a training pipeline
+# needs per document (sequence budgeting, packing, cost estimation); the
+# merges step of real BPE is model-specific and out of scope — this is the
+# deterministic, vocabulary-free prefix every BPE tokenizer shares.
+# Pure codegen projection: one regexp_extract_all + array filters, no
+# shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_CLASSES = {
+    "n_word": r"^ ?[A-Za-z]+$",
+    "n_digit": r"^ ?[0-9]+$",
+    "n_punct": r"^ ?[^A-Za-z0-9\s]+$",
+    "n_contraction": r"^'(s|t|re|ve|m|ll|d)$",
+    "n_ws": r"^\s+$",
+}
+
+
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        toks.alias("toks"),
+    )
+    def _matcher(pat: str):
+        # single-arg lambda factory (same reason as _token_in above: a
+        # default-arg lambda reads as a two-arg (value, index) HOF callback)
+        return lambda t: t.rlike(pat)
+
+    counts = [
+        F.size(F.filter(F.col("toks"), _matcher(pat))).cast("long").alias(name)
+        for name, pat in _BPE_CLASSES.items()
+    ]
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_pretokens"),
+        *counts,
+        # exact integer milli chars-per-pretoken: non-negative div == floor
+        F.when(
+            F.size("toks") > 0,
+            F.expr("(1000 * n_chars) div size(toks)"),
+        ).cast("long").alias("chars_per_token_milli"),
+    )
+
+
+def _bpe_oracle() -> str:
+    esc = lambda p: p.replace("'", "''")  # noqa: E731 — SQL string-literal quoting
+    cls = ",\n       ".join(
+        f"CAST(len(list_filter(toks, t -> regexp_matches(t, '{esc(pat)}'))) AS BIGINT) AS {name}"
+        for name, pat in _BPE_CLASSES.items()
+    )
+    return rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         regexp_extract_all(text, '{esc(BPE_PRETOKEN_RE)}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_pretokens,
+       {cls},
+       CASE WHEN len(toks) > 0
+            THEN CAST((1000 * n_chars) // len(toks) AS BIGINT)
+            ELSE NULL END AS chars_per_token_milli
+FROM tok
+"""
+
+
+# ---------------------------------------------------------------------------
 # Naive-Bayes text classifier trained AND applied in-engine: the
 # fasttext-style linear-filter shape every production corpus pipeline runs
 # (CCNet / LLaMA quality and language filters) — a per-token weight table
@@ -586,4 +660,5 @@ TEXT_QUERIES = [
     Q("text_curriculum_bins", text_curriculum_bins, CURRICULUM_ORACLE, "deterministic quality-decile curriculum binning"),
     Q("text_bigram_lm_score", text_bigram_lm_score, _bigram_lm_oracle(), "self-trained bigram-LM NLL quality score (integer milli-nats)"),
     Q("text_nb_classifier", text_nb_classifier, NB_CLASSIFIER_ORACLE, "in-engine naive-Bayes language classifier (train + apply, integer milli-nats)"),
+    Q("text_bpe_pretokenize", text_bpe_pretokenize, _bpe_oracle(), "GPT-2-style BPE pre-tokenizer counts (cross-engine regex subset)"),
 ]

@@ -130,3 +130,39 @@ def test_nb_classifier_learns_separable_corpus(spark, tmp_path):
     assert k(spdf.astype({"doc_id": "int64"})[["doc_id", "lang_true", "n_tokens", "score_milli", "pred_pos"]]) == k(
         orc.astype({"doc_id": "int64"})[["doc_id", "lang_true", "n_tokens", "score_milli", "pred_pos"]]
     )
+
+
+def test_bpe_pretokenizer_agrees_on_adversarial_strings(spark):
+    """The BPE pre-tokenizer regex runs on two different engines (Java
+    regex in Spark, RE2 in DuckDB); pin the actual TOKEN SEQUENCES on
+    adversarial strings — contractions, multi-space runs, mixed
+    alnum, empty text — not just the counts the registry query hashes."""
+    import duckdb
+
+    from phabricator_etl_spark.functions.text import BPE_PRETOKEN_RE
+
+    texts = [
+        "The quick brown fox's 42 jumps, over!  the lazy-dog... 3.14",
+        "hello   world",
+        "",
+        "a1b2 c3",
+        "don't you'll we're I'd it's 'tis",
+        "...!!!???",
+        "   leading and trailing   ",
+        "tab\there\nnewline",
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: list(r["toks"])
+        for r in sdf.select(
+            "i", F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0).alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, BPE_PRETOKEN_RE]
+        ).fetchone()[0]
+        assert got[i] == want, f"engines tokenize {t!r} differently"
+        # lossless partition: tokens concatenate back to the original
+        assert "".join(want) == t
