@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..ckpt import CheckpointChain
 from ..query import Q
 from ..session import evict_stale
 from ..sources.catalog import load_table as _t
@@ -109,37 +108,74 @@ def kmeans_fit(
             return vectors.sparkSession.createDataFrame([], "cell int, centroid array<bigint>")
         if len(probe) <= local_threshold:
             return _local_kmeans(vectors, probe, k, iterations)
-    chain = CheckpointChain()
-    centroids = chain.step(
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .select(F.row_number().over(Window.orderBy("vec_id")).alias("cell"), F.col("vec").alias("centroid"))
+    # Distributed Lloyd with the MODEL ON THE DRIVER (the MLlib shape): the
+    # corpus never shuffles; each round is ONE job — an Arrow pass that both
+    # assigns each batch (same argmin matmul + first-min tie-break as
+    # assign_cells) and map-side-combines it into per-cell integer partials
+    # (k x dim (cell, pos, Σx, n) rows per batch), reduced by one tiny
+    # groupBy and collected as the next model (k x dim longs — model-sized,
+    # the sanctioned readback). The floored-mean arithmetic is unchanged
+    # (global sum div global count on exact int64), so the fixpoint is
+    # bit-identical to the local numpy path and the unrolled-CTE oracle.
+    # (History: the first distributed form posexploded the assigned corpus
+    # to n x dim rows and shuffled that — 9.6M rows/round at sf3, measured
+    # 51-98 s for the 5-round fit; it also ran ~3 jobs/round through a
+    # CheckpointChain, exposing 15 sequential jobs to scheduler/GC spikes.
+    # This form is 5 jobs total with an O(partitions x k x dim) shuffle.)
+    import numpy as np
+    import pandas as pd
+
+    init = sorted(
+        vectors.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
     )
+    if not init:  # reachable with local_threshold=0 (forced-distributed)
+        return vectors.sparkSession.createDataFrame([], "cell int, centroid array<bigint>")
+    C = np.vstack([np.asarray(r["vec"], dtype=np.int64) for r in init])
+    kk = len(C)
+    spark = vectors.sparkSession
     for _ in range(iterations):
-        assigned = assign_cells(vectors, centroids)
-        # Per-dimension floored means via posexplode + (cell, pos) groupBy,
-        # then reassemble the centroid array ordered by pos. The plan size
-        # is CONSTANT in dim — the per-dimension-column alternative (dim
-        # separate aggregates) recompiles an O(dim)-wide codegen stage
-        # every iteration, which dominates wall-clock for dim >= 64.
-        # `div` on the non-negative sums == floor (see module docstring).
-        means = (
-            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.expr("sum(x) div count(1)").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("new_centroid")
-            )
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches, _bc=bc):
+            Cb = _bc.value
+            c_sq = (Cb * Cb).sum(1)
+            dim = Cb.shape[1]
+            pos = np.tile(np.arange(dim, dtype=np.int32), len(Cb))
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["vec"].to_numpy()).astype(np.int64)
+                d = (X * X).sum(1, keepdims=True) - 2 * (X @ Cb.T) + c_sq
+                a = d.argmin(1)
+                sums = np.zeros((len(Cb), dim), dtype=np.int64)
+                np.add.at(sums, a, X)
+                counts = np.bincount(a, minlength=len(Cb)).astype(np.int64)
+                keep = counts > 0
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "cell0": np.repeat(np.arange(len(Cb), dtype=np.int32), dim),
+                        "pos": pos,
+                        "s": sums.reshape(-1),
+                        "n": np.repeat(counts, dim),
+                    }
+                )[np.repeat(keep, dim)]
+
+        rows = (
+            vectors.select("vec")
+            .mapInPandas(partials, "cell0 int, pos int, s long, n long")
+            .groupBy("cell0", "pos")
+            .agg(F.expr("sum(s) div sum(n)").alias("m"))
+            .collect()
         )
-        centroids = chain.step(
-            centroids.join(means, "cell", "left")
-            .select("cell", F.coalesce("new_centroid", "centroid").alias("centroid"))
-        )
-    return centroids
+        # empty cells simply don't appear in `rows` and keep their centroid
+        for r in rows:
+            C[r["cell0"], r["pos"]] = r["m"]
+    out = pd.DataFrame(
+        {"cell": np.arange(1, kk + 1, dtype=np.int32), "centroid": list(C)}
+    )
+    return spark.createDataFrame(out, "cell int, centroid array<bigint>")
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -417,8 +453,12 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        # cell and band are group-constant; the true key inside is bucket
-        for _, g in pdf.groupby("bucket", sort=False):
+        # band is group-constant; the true key inside is (cell, bucket).
+        # cell stays OUT of the Spark group key on purpose: keying the
+        # applyInPandas exchange by (cell, band, grp) made 8x more, 8x
+        # smaller Arrow groups and the per-group overhead dominated
+        # (measured 26 s -> 9 s at sf3 moving cell into the pandas groupby).
+        for _, g in pdf.groupby(["cell", "bucket"], sort=False):
             n = len(g)
             if n < 2 or n > SEM_MAX_BUCKET:
                 continue
@@ -438,7 +478,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.concat(out)
 
     losers = (
-        long.groupBy("cell", "band", "grp")
+        long.groupBy("band", "grp")
         .applyInPandas(_losers, "vec_id long")
         .distinct()
     )
