@@ -272,3 +272,88 @@ def test_generated_joins_agree_across_engines(spark, duck, spec):
     res = duck.execute(sql)
     dcols = [d[0] for d in res.description]
     assert _norm(srows, sdf.columns) == _norm(res.fetchall(), dcols), spec
+
+
+# ---- window fuzzing --------------------------------------------------------
+# Window functions are the classic cross-engine divergence area (default
+# RANGE frames aggregate ties together; rank vs row_number under ties; LAG
+# at partition edges). Order keys are chosen so every function is
+# deterministic: row_number/lag/cum_sum order by (cents, orderkey) — a
+# total order — while rank orders by cents alone (ties share a rank).
+
+_WIN_PARTS = {
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "g_cust": "o_custkey % 7",
+}
+
+
+@st.composite
+def window_specs(draw):
+    return {
+        "part": draw(st.sampled_from(sorted(_WIN_PARTS))),
+        "desc": draw(st.booleans()),
+        "mod": draw(st.integers(3, 9)),
+        "funcs": draw(
+            st.lists(
+                st.sampled_from(["rn", "rnk", "cum_c", "lag_c", "nt4"]),
+                unique=True,
+                min_size=1,
+                max_size=5,
+            )
+        ),
+    }
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_specs())
+def test_generated_windows_agree_across_engines(spark, duck, spec):
+    from pyspark.sql.window import Window
+
+    part_sql = _WIN_PARTS[spec["part"]]
+    direction = "DESC" if spec["desc"] else "ASC"
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ordered = [cents.desc() if spec["desc"] else cents.asc(), F.col("o_orderkey").asc()]
+    part_col = F.expr(part_sql)
+    w_total = Window.partitionBy(part_col).orderBy(*ordered)
+    w_ties = Window.partitionBy(part_col).orderBy(
+        cents.desc() if spec["desc"] else cents.asc()
+    )
+    fns = {
+        "rn": F.row_number().over(w_total).cast("long"),
+        "rnk": F.rank().over(w_ties).cast("long"),
+        "cum_c": F.sum(cents).over(w_total).cast("long"),
+        "lag_c": F.lag(cents, 1).over(w_total).cast("long"),
+        "nt4": F.ntile(4).over(w_total).cast("long"),
+    }
+    base = load_table(spark, SF, "orders").filter(
+        F.col("o_orderkey") % spec["mod"] == 0
+    )
+    sdf = base.select(
+        "o_orderkey", *[fns[f].alias(f) for f in spec["funcs"]]
+    )
+
+    sql_fns = {
+        "rn": f"ROW_NUMBER() OVER (PARTITION BY {part_sql} ORDER BY c {direction}, o_orderkey)",
+        "rnk": f"RANK() OVER (PARTITION BY {part_sql} ORDER BY c {direction})",
+        "cum_c": f"SUM(c) OVER (PARTITION BY {part_sql} ORDER BY c {direction}, o_orderkey)",
+        "lag_c": f"LAG(c, 1) OVER (PARTITION BY {part_sql} ORDER BY c {direction}, o_orderkey)",
+        "nt4": f"NTILE(4) OVER (PARTITION BY {part_sql} ORDER BY c {direction}, o_orderkey)",
+    }
+    cols = ",\n       ".join(
+        f"CAST({sql_fns[f]} AS BIGINT) AS {f}" for f in spec["funcs"]
+    )
+    sql = f"""
+    SELECT o_orderkey, {cols}
+    FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+          WHERE o_orderkey % {spec['mod']} = 0)
+    """
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    assert _norm(srows, sdf.columns) == _norm(res.fetchall(), dcols), spec
