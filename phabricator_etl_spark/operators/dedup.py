@@ -613,8 +613,12 @@ def _strict_bucket(qcol: F.Column, band: int) -> F.Column:
 # buckets share one applyInPandas group (inner pandas groupby splits them
 # back), trading per-group Arrow overhead (4*65536 tiny groups otherwise)
 # against group width. Semantics-free: pairs still form only inside a true
-# (band, bucket).
-COS_GROUP_SHIFT = 6
+# (band, bucket). Tuned by same-day A/B (shift 6/8/10): at sf30 the three
+# settings are statistically indistinguishable (18-22 s, +-20% day noise),
+# but at sf0.1 the 4096-group fan-out of shift 6 costs ~4.4 s of pure
+# Arrow per-group overhead on 20k postings (6.5 -> 2.1 s at shift 10), so
+# the coarse end wins: 64 groups/band are still 8x the executor threads.
+COS_GROUP_SHIFT = 10
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
