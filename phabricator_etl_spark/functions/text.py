@@ -457,7 +457,11 @@ ORDER BY doc_id
 # BPE-style pre-tokenization: the GPT-2 pre-tokenizer regex, simplified to
 # the intersection of Java regex (Spark) and RE2 (DuckDB) — no lookahead
 # (RE2 lacks it), ASCII classes (unicode case/category tables can differ
-# between engines). Token-COUNT statistics are what a training pipeline
+# between engines). Whitespace is the EXPLICIT class [ \t\n\f\r], never \s:
+# Java's \s is [ \t\n\x0B\f\r] while RE2's omits vertical tab, so on text
+# containing \x0b the engines would tokenize differently (r6 ADVICE) —
+# spelling the class out makes \x0b a punct byte on BOTH engines.
+# Token-COUNT statistics are what a training pipeline
 # needs per document (sequence budgeting, packing, cost estimation); the
 # merges step of real BPE is model-specific and out of scope — this is the
 # deterministic, vocabulary-free prefix every BPE tokenizer shares.
@@ -465,13 +469,17 @@ ORDER BY doc_id
 # shuffle, no Python.
 # ---------------------------------------------------------------------------
 
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_WS = " \\t\\n\\f\\r"  # shared ASCII whitespace class — see note above
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_BPE_WS}]+|[{_BPE_WS}]+"
+)
 _BPE_CLASSES = {
     "n_word": r"^ ?[A-Za-z]+$",
     "n_digit": r"^ ?[0-9]+$",
-    "n_punct": r"^ ?[^A-Za-z0-9\s]+$",
+    "n_punct": rf"^ ?[^A-Za-z0-9{_BPE_WS}]+$",
     "n_contraction": r"^'(s|t|re|ve|m|ll|d)$",
-    "n_ws": r"^\s+$",
+    "n_ws": rf"^[{_BPE_WS}]+$",
 }
 
 

@@ -169,6 +169,11 @@ def kmeans_fit(
             .agg(F.expr("sum(s) div sum(n)").alias("m"))
             .collect()
         )
+        # the collect() above is the last reader of this round's model —
+        # free its executor/driver copies now instead of leaking one stale
+        # broadcast per round for the session lifetime (r6 ADVICE; bench
+        # repeats that re-pay the fit multiply the leak)
+        bc.destroy()
         # empty cells simply don't appear in `rows` and keep their centroid
         for r in rows:
             C[r["cell0"], r["pos"]] = r["m"]

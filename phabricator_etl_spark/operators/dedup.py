@@ -618,6 +618,16 @@ def _strict_bucket(qcol: F.Column, band: int) -> F.Column:
 # but at sf0.1 the 4096-group fan-out of shift 6 costs ~4.4 s of pure
 # Arrow per-group overhead on 20k postings (6.5 -> 2.1 s at shift 10), so
 # the coarse end wins: 64 groups/band are still 8x the executor threads.
+#
+# Per-group MEMORY bound (r6 ADVICE): one applyInPandas group materializes
+# ~N / 2^(16 - shift) postings (N = corpus size; postings hash-spread
+# uniformly over the 2^16 buckets, 2^(16-shift) groups per band), each
+# carrying a 64-dim int64 vector ≈ 520 B ⇒ group bytes ≈ N·520 / 2^(16-shift).
+# At shift 10 that is ~80 MB per group at N = 10M — comfortably inside one
+# executor task — but ~8 GB at N = 1B. Past ~100M vectors, lower the shift
+# one step per 4x corpus growth (shift 8 at 100M ≈ 200 MB/group) or raise
+# COS_STRICT_BITS, which shrinks occupancy AND group width together; the
+# grouping is verify-local only, so any shift value is output-identical.
 COS_GROUP_SHIFT = 10
 
 

@@ -42,8 +42,18 @@ from ..ckpt import CheckpointChain, tracked_local_checkpoint
 # equal in tests/test_graph_paths.py.
 LOCAL_EDGE_THRESHOLD = 262_144
 
+# The vertex side gets its OWN cutover (r6 verdict #2): a selective edge
+# filter at 100 TB routinely leaves a subcritical edge set over a corpus of
+# 10^9 mostly-isolated vertices, and an unguarded vertices.toPandas() would
+# OOM the driver on exactly the graphs the edge probe declares "small".
+# A vertex row is one id (~8 B wire / ~100 B as a dict entry), so the
+# threshold sits higher than the edge one: 1 Mi ids ≈ 8 MB transfer,
+# ~100 MB of driver union-find dict — same conservative envelope. Either
+# side supercritical -> the distributed fixpoint.
+LOCAL_VERTEX_THRESHOLD = 1_048_576
 
-def _local_components(vertices: DataFrame, epd) -> DataFrame:
+
+def _local_components(vertices: DataFrame, epd, vpd) -> DataFrame:
     """Driver-side union-find for subcritical graphs.
 
     The distributed fixpoint costs O(rounds) scheduled jobs regardless of
@@ -53,14 +63,15 @@ def _local_components(vertices: DataFrame, epd) -> DataFrame:
     result back as a (tiny) local relation. Exact same contract as the
     distributed path (min-id labeling), asserted equal in tests.
 
-    ``epd``: the already-probed pandas edge frame (src, dst) — the caller's
-    size probe doubles as the transfer, so the local path costs exactly one
-    edge-side job. Arrow both ways; the pickle row path costs ~10x more at
-    10^5 rows and would erase the cutover's win.
+    ``epd``/``vpd``: the already-probed pandas edge and vertex frames — the
+    caller's size probes double as the transfer, so the local path costs
+    exactly two jobs and never collects an unprobed side. Arrow both ways;
+    the pickle row path costs ~10x more at 10^5 rows and would erase the
+    cutover's win.
     """
     import pandas as pd
 
-    ids = vertices.select("id").toPandas()["id"].tolist()
+    ids = vpd["id"].tolist()
     parent: dict = {v: v for v in ids}
 
     def find(x):
@@ -136,10 +147,17 @@ def connected_components(
             .toPandas()
         )
         if len(probe) <= local_threshold:
-            try:
-                return _local_components(vertices, probe)
-            finally:
-                edges.unpersist()
+            # Edge side subcritical — now probe the VERTEX side the same way
+            # before shipping it to the driver (r6 verdict #2): a sparse
+            # edge set says nothing about vertex count, and the union-find
+            # dict is O(|V|) driver memory. Supercritical vertices fall
+            # through to the distributed fixpoint below.
+            vprobe = vertices.select("id").limit(LOCAL_VERTEX_THRESHOLD + 1).toPandas()
+            if len(vprobe) <= LOCAL_VERTEX_THRESHOLD:
+                try:
+                    return _local_components(vertices, probe, vprobe)
+                finally:
+                    edges.unpersist()
     n_edges = edges.count()
     spark = edges.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -70,16 +70,17 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 5
     return out
 
 
-def _local_pointer_distances(seeds: DataFrame, epd) -> DataFrame:
+def _local_pointer_distances(seeds: DataFrame, epd, spd) -> DataFrame:
     """Driver-side list ranking for subcritical forests — the same size
     cutover as graph._local_components (see LOCAL_EDGE_THRESHOLD's cost
     model there). Memoized root-walk: O(E) driver work, exact same output
-    contract as the distributed path (asserted in tests). ``epd`` is the
-    caller's probe result (pandas frame dst/src) — probe doubles as
-    transfer."""
+    contract as the distributed path (asserted in tests). ``epd``/``spd``
+    are the caller's probe results (pandas edge frame dst/src, pandas seed
+    frame id) — both probes double as transfers, so no unprobed side is
+    ever collected."""
     import pandas as pd
 
-    seed_ids = set(seeds.select("id").toPandas()["id"].tolist())
+    seed_ids = set(spd["id"].tolist())
     parent: dict = dict(zip(epd["dst"].tolist(), epd["src"].tolist()))
     memo: dict = {}  # node -> (terminal_root | None, distance_to_root)
 
@@ -128,7 +129,7 @@ def pointer_jump_distances(
     Falls under the same semantics as ``bfs_distances`` when the graph is a
     forest rooted at the seeds; use ``bfs_distances`` for general graphs.
     """
-    from .graph import LOCAL_EDGE_THRESHOLD
+    from .graph import LOCAL_EDGE_THRESHOLD, LOCAL_VERTEX_THRESHOLD
 
     if local_threshold is None:
         local_threshold = LOCAL_EDGE_THRESHOLD
@@ -143,10 +144,15 @@ def pointer_jump_distances(
             .toPandas()
         )
         if len(probe) <= local_threshold:
-            try:
-                return _local_pointer_distances(seeds, probe)
-            finally:
-                edges.unpersist()
+            # Seed side gets its own probe (r6 verdict #2): a forest with
+            # few edges can still be seeded at millions of roots, and the
+            # driver set is O(|seeds|). Supercritical seeds -> distributed.
+            sprobe = seeds.select("id").limit(LOCAL_VERTEX_THRESHOLD + 1).toPandas()
+            if len(sprobe) <= LOCAL_VERTEX_THRESHOLD:
+                try:
+                    return _local_pointer_distances(seeds, probe, sprobe)
+                finally:
+                    edges.unpersist()
     seeds = seeds.select("id").localCheckpoint(eager=True)
     # Non-root vertices start pointing at their parent, one hop away.
     # Rolling two-generation checkpoint (see ckpt.py): frees each round's
@@ -228,15 +234,16 @@ PR_DAMP_DEN = 20
 
 
 def _local_pagerank(
-    vertices: DataFrame, epd, iterations: int
+    vertices: DataFrame, epd, iterations: int, vpd
 ) -> DataFrame:
     """Driver numpy power iteration for subcritical graphs (same cutover +
-    probe mechanics as graph._local_components). Identical INTEGER update
-    rule to the distributed loop and the SQL oracle."""
+    probe mechanics as graph._local_components; ``vpd`` is the caller's
+    vertex probe — no unprobed side is ever collected). Identical INTEGER
+    update rule to the distributed loop and the SQL oracle."""
     import numpy as np
     import pandas as pd
 
-    ids = vertices.select("id").toPandas()["id"].tolist()
+    ids = vpd["id"].tolist()
     n = len(ids)
     if n == 0:  # empty graph: no vertices, no ranks (== oracle)
         return vertices.select(F.col("id"), F.lit(1).cast("long").alias("rank_micro"))
@@ -277,7 +284,7 @@ def pagerank(
     (1.0 == PR_MICRO); damping is the exact rational PR_DAMP_NUM/PR_DAMP_DEN
     and every division floors, so the result is bit-identical across the
     numpy local path, this distributed loop, and the SQL oracle."""
-    from .graph import LOCAL_EDGE_THRESHOLD
+    from .graph import LOCAL_EDGE_THRESHOLD, LOCAL_VERTEX_THRESHOLD
 
     if local_threshold is None:
         local_threshold = LOCAL_EDGE_THRESHOLD
@@ -289,7 +296,11 @@ def pagerank(
             .toPandas()
         )
         if len(probe) <= local_threshold:
-            return _local_pagerank(vertices, probe, iterations)
+            # Vertex side probed separately (r6 verdict #2): the rank
+            # vector is O(|V|) driver memory regardless of edge count.
+            vprobe = vertices.select("id").limit(LOCAL_VERTEX_THRESHOLD + 1).toPandas()
+            if len(vprobe) <= LOCAL_VERTEX_THRESHOLD:
+                return _local_pagerank(vertices, probe, iterations, vprobe)
     n = vertices.count()
     base = PR_MICRO - PR_MICRO * PR_DAMP_NUM // PR_DAMP_DEN
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

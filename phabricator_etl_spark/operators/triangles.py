@@ -130,31 +130,91 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
 
 LINK_PRED_TOP_K = 20
 
+# Max adjacency rows of one wedge center per block side. Centers under the
+# cap keep the plain one-block self-join (1-element sequences, zero extra
+# rows); a hub of degree d splits into ceil(d/cap) hash blocks, so no
+# single join key carries more than ~cap x cap wedge work. Expected block
+# occupancy is d/ceil(d/cap) <= cap (hash-uniform; the hot-hub test pins a
+# 2x-slack bound), and replication cost is d^2/cap rows per hub — a cap-th
+# of the wedge volume it schedules.
+LINK_PRED_BLOCK = 1024
+
+
+def _blocked_adjacency(adj: DataFrame, cap: int) -> DataFrame:
+    """(node, nb) -> (ctr, v, nblk, blk): each center's adjacency hash-split
+    into ceil(deg/cap) blocks. Separated from the join so the hot-hub test
+    can pin block occupancy directly."""
+    degc = adj.groupBy("node").agg(F.count(F.lit(1)).alias("cdeg"))
+    return (
+        adj.select(F.col("nb").alias("ctr"), F.col("node").alias("v"))
+        .join(degc.select(F.col("node").alias("ctr"), "cdeg"), "ctr")
+        .withColumn("nblk", F.ceil(F.col("cdeg") / F.lit(cap)).cast("int"))
+        .withColumn("blk", F.pmod(F.xxhash64("v"), F.col("nblk")).cast("int"))
+    )
+
+
+def _blocked_common_neighbors(adj: DataFrame, cap: int = LINK_PRED_BLOCK) -> DataFrame:
+    """Exact per-pair common-neighbor counts with a BOUNDED last reducer.
+
+    ``adj``: (node, nb) both directions. Output: (x, y, cn), x < y, cn >= 1.
+
+    Why not the triangle counter's degree orientation (r6 verdict #3 asked
+    for it, triangles.py:82): orientation wins for triangles because each
+    triangle only needs generating from its (degree,id)-lowest corner, so
+    Σ outdeg² ≤ m·√m replaces Σ deg². Common-neighbor counting has no such
+    freedom — cn(x,y) must count EVERY wedge x–ctr–y, so total output is
+    Σ_ctr deg(ctr)²/2 under any generation order; orientation merely
+    relabels which join emits each wedge and leaves the in-in arm at a hub
+    exactly as quadratic as before. What CAN be fixed is the "last reducer":
+    the naive adj⋈adj on ctr puts a degree-d hub's d²/2 wedges in ONE task.
+    This form hash-splits each hub's adjacency into ceil(d/cap) blocks and
+    joins block PAIRS — (ctr, lo, hi) keys — so every task is ≤ ~cap² work
+    and AQE-splittable, while the emitted pair multiset (and therefore the
+    top-k hash) is bit-identical: within-block pairs are kept once by the
+    x < y filter, cross-block pairs appear in exactly one (lo, hi) block
+    (each vertex hashes to one block) and are canonicalized by least/
+    greatest. Sub-cap centers take the degenerate 1-block path, which IS
+    the plain wedge join.
+    """
+    adjb = _blocked_adjacency(adj, cap)
+    xs = adjb.select(
+        "ctr",
+        F.col("blk").alias("lo"),
+        F.explode(F.sequence(F.col("blk"), F.col("nblk") - 1)).alias("hi"),
+        F.col("v").alias("xv"),
+    )
+    ys = adjb.select(
+        "ctr",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("lo"),
+        F.col("blk").alias("hi"),
+        F.col("v").alias("yv"),
+    )
+    return (
+        xs.join(ys, ["ctr", "lo", "hi"])
+        .filter((F.col("lo") < F.col("hi")) | (F.col("xv") < F.col("yv")))
+        .groupBy(
+            F.least("xv", "yv").alias("x"), F.greatest("xv", "yv").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+
 
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction (the classic Liben-Nowell/Kleinberg
     baseline): for NON-adjacent pairs sharing ≥1 neighbor, score by neighbor
     Jaccard |N(x)∩N(y)| / |N(x)∪N(y)|; top-k candidates are the predicted
-    edges. Wedge join on the common neighbor generates exactly the pairs
-    with cn ≥ 1 (never all pairs); existing edges are anti-joined out.
-    Ranking key is the exact rational 1000·cn/(dx+dy−cn) rounded to int —
-    cross-engine stable. Hub-vertex wedge blowup is bounded the same way as
-    graph_triangle_count at scale: degree-cap or orientation before the
-    wedge join (documented there); the plain form here IS the oracle shape.
+    edges. Wedge generation is the blocked self-join of
+    _blocked_common_neighbors — hub-safe (bounded per-task fan-out), output
+    identical to the plain wedge join the SQL oracle runs; existing edges
+    are anti-joined out. Ranking key is the exact rational
+    1000·cn/(dx+dy−cn) rounded to int — cross-engine stable.
     """
     e = _canonical_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).union(
         e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    x = adj.select(F.col("node").alias("x"), F.col("nb").alias("ctr"))
-    y = adj.select(F.col("node").alias("y"), F.col("nb").alias("ctr"))
-    cn = (
-        x.join(y, "ctr")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
+    cn = _blocked_common_neighbors(adj)
     non_adjacent = cn.join(
         e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_anti"
     )

@@ -150,6 +150,11 @@ def test_bpe_pretokenizer_agrees_on_adversarial_strings(spark):
         "...!!!???",
         "   leading and trailing   ",
         "tab\there\nnewline",
+        # \x0b (vertical tab): Java \s includes it, RE2's does not — the
+        # explicit ASCII whitespace class makes both engines call it punct
+        "a\x0b b",
+        "\x0b\x0b",
+        "mixed \x0b\ttail",
     ]
     sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
     got = {

@@ -88,6 +88,58 @@ def test_pointer_jump_paths_agree(spark):
     assert all(v < 10_000 for v in local)  # orphan chain excluded
 
 
+def test_supercritical_vertices_skip_local_path(spark, monkeypatch):
+    """r6 verdict #2: a subcritical EDGE set over a supercritical VERTEX set
+    (the 100 TB shape after a selective edge filter: few edges, oceans of
+    isolated vertices) must take the distributed path — never a full
+    vertices.toPandas() — and still produce the local path's labeling."""
+    from phabricator_etl_spark.operators import graph as graph_mod
+
+    vertices, edges = _random_graph(seed=31, n=500, m=60)
+    vdf = spark.createDataFrame([(v,) for v in vertices], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    expected = _labels(connected_components(vdf, edf))  # local path (n=500 < 1Mi)
+
+    monkeypatch.setattr(graph_mod, "LOCAL_VERTEX_THRESHOLD", 100)
+
+    def _boom(*a, **k):  # the guard must prevent this from ever running
+        raise AssertionError("local path taken despite supercritical vertex set")
+
+    monkeypatch.setattr(graph_mod, "_local_components", _boom)
+    got = _labels(graph_mod.connected_components(vdf, edf))
+    assert got == expected
+
+
+def test_supercritical_seeds_and_vertices_skip_local_paths(spark, monkeypatch):
+    """Same guard for pointer jumping (seed side) and PageRank (vertex side)."""
+    from phabricator_etl_spark.operators import graph as graph_mod
+    from phabricator_etl_spark.operators import iterative as it_mod
+
+    # forest: 50 chains of length 4 -> 200 vertices, 150 edges, 50 seeds
+    edges = [(100 * c + i, 100 * c + i + 1) for c in range(50) for i in range(3)]
+    seeds = [100 * c for c in range(50)]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    want = {r["id"]: r["distance"] for r in it_mod.pointer_jump_distances(sdf, edf).collect()}
+    vdf = spark.createDataFrame([(v,) for v in range(60)], "id long")
+    pr_edges = spark.createDataFrame([(i, i + 1) for i in range(59)], "src long, dst long")
+    # both "want"s come from the (un-monkeypatched) local paths
+    want_pr = {r["id"]: r["rank_micro"] for r in it_mod.pagerank(vdf, pr_edges, iterations=3).collect()}
+
+    monkeypatch.setattr(graph_mod, "LOCAL_VERTEX_THRESHOLD", 10)
+
+    def _boom(*a, **k):
+        raise AssertionError("local path taken despite supercritical seed/vertex set")
+
+    monkeypatch.setattr(it_mod, "_local_pointer_distances", _boom)
+    got = {r["id"]: r["distance"] for r in it_mod.pointer_jump_distances(sdf, edf).collect()}
+    assert got == want
+
+    monkeypatch.setattr(it_mod, "_local_pagerank", _boom)
+    got_pr = {r["id"]: r["rank_micro"] for r in it_mod.pagerank(vdf, pr_edges, iterations=3).collect()}
+    assert got_pr == want_pr
+
+
 def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
     """Reference peeling: repeatedly drop nodes with degree < k."""
     from collections import defaultdict
