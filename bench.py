@@ -80,10 +80,53 @@ def main() -> None:
 
     import gc
 
+    # ---- calibration probes (r6 verdict #5) -------------------------------
+    # Three fixed-size synthetic probes, independent of sf and the registry:
+    # a codegen scan, a shuffle, and a Python-worker round-trip. Their
+    # round-over-round movement is pure host/JVM drift (nothing in the repo
+    # touches them), so a +20% uniform drift like r5->r6's shows up here and
+    # becomes separable from real per-query regressions. Run at bench start
+    # and again after the refine pass (shared-session wear visible too).
+    def _calibrate(s) -> dict[str, float]:
+        probes = {
+            "calib_cpu_scan": lambda: s.range(50_000_000).selectExpr(
+                "sum(id * 3 + (id & 7))"
+            ).collect(),
+            "calib_shuffle": lambda: s.range(4_000_000)
+            .groupBy(F.pmod(F.col("id"), F.lit(4096)).alias("k"))
+            .count()
+            .orderBy("k")
+            .limit(5)
+            .collect(),
+            "calib_python_worker": lambda: s.range(1_000_000)
+            .repartition(cpus)
+            .mapInPandas(_warm, "id long")
+            .count(),
+        }
+        out = {}
+        for pname, fn in probes.items():
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[pname] = round(best, 3)
+        return out
+
+    from pyspark.sql import functions as F
+
+    calibration = {"start": _calibrate(spark)}
+
+    from phabricator_etl_spark.plans import incremental_runner as IR
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    phase_timings: dict[str, list] = {}
     total = 0.0
     for i, q in enumerate(all_queries()):
+        if q.name.startswith("etl_e2e_"):
+            IR.PHASE_LOG.clear()
         t0 = time.perf_counter()
         try:
             df = q.build(spark, sf_dir)
@@ -98,6 +141,8 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[q.name] = round(dt, 3)
         total += dt
+        if q.name.startswith("etl_e2e_") and IR.PHASE_LOG:
+            phase_timings[q.name] = [dict(p) for p in IR.PHASE_LOG]
         print(f"# {q.name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         if i % 10 == 9:
             # release dead DataFrame/RDD references so the ContextCleaner
@@ -106,13 +151,15 @@ def main() -> None:
             # lands on (and misattributes to) an arbitrary query
             gc.collect()
 
-    # ---- refinement pass: scale-bench discipline for the top-20 ----------
+    # ---- refinement pass: scale-bench discipline for the top-40 ----------
     # Re-measure the most expensive entries (they dominate the total and are
     # the ones judged round-over-round) in a freshly restarted session with
     # min-of-3, under a wall-clock budget. first_pass keeps the raw number.
-    refine_budget = float(os.environ.get("SPARK_GRAFT_REFINE_BUDGET", "420"))
+    # r6 verdict #5 widened this from 20 to 40 entries (20/223 tagged
+    # fresh-session was too thin to separate drift from regression).
+    refine_budget = float(os.environ.get("SPARK_GRAFT_REFINE_BUDGET", "900"))
     by_name = {q.name: q for q in all_queries()}
-    top20 = sorted(timings, key=lambda k: timings[k], reverse=True)[:20]
+    top20 = sorted(timings, key=lambda k: timings[k], reverse=True)[:40]
     methodology = {name: "shared-jvm-single-shot" for name in timings}
     first_pass = dict(timings)
 
@@ -151,9 +198,19 @@ def main() -> None:
             # expensive entries amortize their own noise; cap their repeats
             repeats = 2 if first_pass[name] > 10.0 else 3
             for _ in range(repeats):
+                if name.startswith("etl_e2e_"):
+                    IR.PHASE_LOG.clear()
                 t0 = time.perf_counter()
                 by_name[name].build(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                if (
+                    name.startswith("etl_e2e_")
+                    and IR.PHASE_LOG
+                    and (best is None or dt < best)
+                ):
+                    # keep the phase decomposition of the BEST repeat — the
+                    # one whose total lands in the timings map
+                    phase_timings[name] = [dict(p) for p in IR.PHASE_LOG]
                 best = dt if best is None else min(best, dt)
                 if time.perf_counter() - refine_t0 > refine_budget:
                     break
@@ -164,6 +221,13 @@ def main() -> None:
             print(f"# refine {name} failed, keeping first pass: {e}", file=sys.stderr)
         gc.collect()
     total = sum(timings.values())
+    # end-of-run calibration in whatever session state the refine left
+    # behind: start-vs-end delta = within-run wear; round-over-round start
+    # deltas = host drift
+    try:
+        calibration["end"] = _calibrate(spark)
+    except Exception as e:  # noqa: BLE001
+        print(f"# end calibration failed: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir
@@ -182,6 +246,8 @@ def main() -> None:
         "queries": timings,
         "first_pass": first_pass,
         "methodology": methodology,
+        "calibration": calibration,
+        "phase_timings": phase_timings,
         "errors": errors,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -213,6 +279,8 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        # one-number host-drift canary (sum of the start calibration probes)
+        "calib": round(sum(calibration["start"].values()), 3),
         "queries": {k: timings[k] for k in headline if k in timings},
     }
     # Start from a guaranteed-fresh line: Spark/py4j may have left an

@@ -656,6 +656,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         _quantize(F.col("embedding")).alias("qe"),
     )
+    return _cosine_survivor_pipeline(q)
+
+
+def _cosine_survivor_pipeline(q: DataFrame) -> DataFrame:
+    """Banded sign-bucket verify over (vec_id, qe) — the shared core of
+    dedup_embedding_cosine and its injected-near-dup sibling."""
+    import numpy as np
+    import pandas as pd
+
     buckets = F.array(*[_strict_bucket(F.col("qe"), t) for t in range(COS_STRICT_BANDS)])
     long = q.select(
         "vec_id", "qe", F.posexplode(buckets).alias("band", "bucket")
@@ -704,6 +713,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_embedding_neardup = dedup_embedding_cosine
 
 
+# Injected-near-dup sibling (r6 verdict #6): the driver-gate corpus is
+# dup-free by construction, so dedup_embedding_cosine's value hash
+# certifies an EMPTY survivor set; this entry makes the hash cover real
+# survivor pairs. Every COS_INJECT_MOD-th vector is cloned at
+# vec_id + COS_INJECT_OFFSET with each quantized component's MAGNITUDE
+# grown ~1% (x + abs(x) div 100 — truncating div agrees between Spark and
+# DuckDB, and the sign never flips, so the clone shares all four sign
+# buckets with its source and must surface as a candidate unless its
+# bucket is occupancy-capped). The identical pipeline then runs on the
+# augmented corpus.
+COS_INJECT_MOD = 20
+COS_INJECT_OFFSET = 10_000_000
+_COS_PERTURB_SPARK = "transform(qe, x -> x + (abs(x) div 100))"
+_COS_PERTURB_SQL = "list_transform(qe, x -> x + (abs(x) // 100))"
+
+
+def dedup_embedding_cosine_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    q = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _quantize(F.col("embedding")).alias("qe"),
+    )
+    clones = q.filter(F.col("vec_id") % COS_INJECT_MOD == 0).select(
+        (F.col("vec_id") + F.lit(COS_INJECT_OFFSET)).alias("vec_id"),
+        F.expr(_COS_PERTURB_SPARK).alias("qe"),
+    )
+    return _cosine_survivor_pipeline(q.unionByName(clones))
+
+
 def _strict_band_sql(t: int) -> str:
     return " + ".join(
         f"CASE WHEN qe[{t * COS_STRICT_BITS + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
@@ -716,12 +754,16 @@ _STRICT_LONG_SQL = "\nUNION ALL\n".join(
     for t in range(COS_STRICT_BANDS)
 )
 
-DEDUP_COSINE_ORACLE = f"""
-WITH q AS (
+_COS_BASE_Q_SQL = f"""
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COSINE_SCALE}) AS BIGINT)) AS qe
   FROM embeddings
-), long AS ({_STRICT_LONG_SQL}),
+"""
+
+
+def _cosine_oracle(q_sql: str) -> str:
+    return f"""
+WITH q AS ({q_sql}), long AS ({_STRICT_LONG_SQL}),
 occ AS (
   SELECT band, bucket FROM long GROUP BY band, bucket HAVING COUNT(*) <= {COS_MAX_BUCKET}
 ), kept AS (
@@ -736,6 +778,20 @@ SELECT a, b,
 FROM cands
 WHERE list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) >= {COSINE_STRICT_X1E8}
 """
+
+
+DEDUP_COSINE_ORACLE = _cosine_oracle(_COS_BASE_Q_SQL)
+
+DEDUP_COSINE_INJECTED_ORACLE = _cosine_oracle(
+    f"""
+  WITH base AS ({_COS_BASE_Q_SQL})
+  SELECT vec_id, qe FROM base
+  UNION ALL
+  SELECT vec_id + {COS_INJECT_OFFSET}, {_COS_PERTURB_SQL}
+  FROM base WHERE vec_id % {COS_INJECT_MOD} = 0
+"""
+)
+
 
 
 # ---------------------------------------------------------------------------
@@ -859,6 +915,14 @@ DEDUP_QUERIES = [
         DEDUP_COSINE_ORACLE,
         "production cosine near-dup (16-bit bands, occupancy cap, cos>=0.95; "
         "r6 fold of the former 0.3-threshold demo and dedup_embedding_neardup)",
+    ),
+    Q(
+        "dedup_embedding_cosine_injected",
+        dedup_embedding_cosine_injected,
+        DEDUP_COSINE_INJECTED_ORACLE,
+        "same cosine pipeline over a deterministically injected near-dup "
+        "corpus — the value hash certifies NON-EMPTY survivor pairs "
+        "(the gate corpus itself is dup-free)",
     ),
     Q("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE, "directed shingle containment (quote/boilerplate inclusion)"),
     Q("corpus_novelty_rate", corpus_novelty_rate, NOVELTY_ORACLE, "per-doc share of corpus-unique shingles (shared posting index)"),

@@ -240,6 +240,35 @@ def test_neardup_strict_recall_on_injected_dups(spark, tmp_path):
     assert recall >= 0.5, f"strict near-dup recall {recall:.2f} below floor"
 
 
+def test_injected_cosine_gate_sibling_full_recall(spark, sf_smoke):
+    """dedup_embedding_cosine_injected (the non-empty gate-hash sibling,
+    r6 verdict #6) must surface EXACTLY one survivor pair per injected
+    clone: the perturbation is sign-preserving, so each (source, clone)
+    pair shares all four sign buckets and must pass the exact integer
+    verify; the base corpus contributes nothing (dup-free premise pinned
+    by test_cosine_dedup_no_false_positives_on_dupfree_corpus)."""
+    from phabricator_etl_spark.operators.dedup import (
+        COS_INJECT_MOD,
+        COS_INJECT_OFFSET,
+        COSINE_STRICT_X1E8,
+        dedup_embedding_cosine_injected,
+    )
+    from phabricator_etl_spark.sources.catalog import load_table
+
+    src_ids = {
+        r["vec_id"]
+        for r in load_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") % COS_INJECT_MOD == 0)
+        .select("vec_id")
+        .collect()
+    }
+    rows = dedup_embedding_cosine_injected(spark, sf_smoke).collect()
+    got = {(r["a"], r["b"]) for r in rows}
+    want = {(v, v + COS_INJECT_OFFSET) for v in src_ids}
+    assert got == want, f"expected exactly the injected pairs; diff={got ^ want}"
+    assert all(r["dot_q"] >= COSINE_STRICT_X1E8 for r in rows)
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_smoke):
     """MinHash banding (4 bands x 2 rows) must recover nearly all true
     jaccard >= 0.5 pairs (band collision prob 1-(1-j^2)^4 = 0.68 per the
