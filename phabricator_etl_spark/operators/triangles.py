@@ -199,17 +199,12 @@ def _blocked_common_neighbors(adj: DataFrame, cap: int = LINK_PRED_BLOCK) -> Dat
     )
 
 
-def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbor link prediction (the classic Liben-Nowell/Kleinberg
-    baseline): for NON-adjacent pairs sharing ≥1 neighbor, score by neighbor
-    Jaccard |N(x)∩N(y)| / |N(x)∪N(y)|; top-k candidates are the predicted
-    edges. Wedge generation is the blocked self-join of
-    _blocked_common_neighbors — hub-safe (bounded per-task fan-out), output
-    identical to the plain wedge join the SQL oracle runs; existing edges
-    are anti-joined out. Ranking key is the exact rational
-    1000·cn/(dx+dy−cn) rounded to int — cross-engine stable.
-    """
-    e = _canonical_edges(spark, sf_dir).localCheckpoint(eager=True)
+def _link_prediction_core(e: DataFrame) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over canonical (a < b) edges.
+
+    Separated from the fixture graph (same split as triangle_corner_counts)
+    so the constant-degree chain probe can run the identical operator."""
+    e = e.localCheckpoint(eager=True)
     adj = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).union(
         e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
@@ -237,9 +232,31 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(LINK_PRED_TOP_K)
 
 
-def _link_pred_oracle() -> str:
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (the classic Liben-Nowell/Kleinberg
+    baseline): for NON-adjacent pairs sharing ≥1 neighbor, score by neighbor
+    Jaccard |N(x)∩N(y)| / |N(x)∪N(y)|; top-k candidates are the predicted
+    edges. Wedge generation is the blocked self-join of
+    _blocked_common_neighbors — hub-safe (bounded per-task fan-out), output
+    identical to the plain wedge join the SQL oracle runs; existing edges
+    are anti-joined out. Ranking key is the exact rational
+    1000·cn/(dx+dy−cn) rounded to int — cross-engine stable.
+    """
+    return _link_prediction_core(_canonical_edges(spark, sf_dir))
+
+
+def graph_link_pred_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identical link-prediction operator on the constant-degree chain
+    graph — the at-scale probe for the blocked wedge join (the same-nation
+    fixture grows degree ~n/23 by construction, so wedge volume is Θ(n³) by
+    fixture rule, and graph_link_prediction can never join the measured
+    linear curve; see graph_triangles_chain)."""
+    return _link_prediction_core(_chain_triangle_edges(spark, sf_dir))
+
+
+def _link_pred_oracle(edges_sql: str = _EDGES_SQL) -> str:
     return f"""
-WITH e AS ({_EDGES_SQL}
+WITH e AS ({edges_sql}
 ), adj AS (
   SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e
 ), deg AS (
@@ -373,5 +390,11 @@ TRIANGLE_QUERIES = [
         graph_link_prediction,
         _link_pred_oracle(),
         "common-neighbor Jaccard link prediction (wedge-join candidates, exact-rational rank)",
+    ),
+    Q(
+        "graph_link_pred_chain",
+        graph_link_pred_chain,
+        _link_pred_oracle(_CHAIN_EDGES_SQL),
+        "link prediction on the constant-degree chain graph (the at-scale probe for the blocked wedge join)",
     ),
 ]

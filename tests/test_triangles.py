@@ -140,3 +140,23 @@ def test_blocked_wedge_join_matches_plain_join_on_pseudorandom_graph(spark):
     want = {(r["x"], r["y"]): r["cn"] for r in plain.collect()}
     got = {(r["x"], r["y"]): r["cn"] for r in _blocked_common_neighbors(adj, cap=4).collect()}
     assert got == want
+
+
+def test_link_pred_chain_distances_and_counts(spark, sf_smoke):
+    """The r7 scale probe must predict exactly the distance-3/4 pairs of the
+    chain graph: on a contiguous key range N(u) = {u-2, u-1, u+1, u+2}, so a
+    non-adjacent pair with common neighbors is (u, u+3) with cn=2 or
+    (u, u+4) with cn=1 — nothing else."""
+    from phabricator_etl_spark.operators.triangles import (
+        LINK_PRED_TOP_K,
+        graph_link_pred_chain,
+    )
+
+    rows = graph_link_pred_chain(spark, sf_smoke).collect()
+    assert len(rows) == LINK_PRED_TOP_K
+    for r in rows:
+        dist = r.y - r.x
+        assert dist in (3, 4), f"unexpected candidate pair {(r.x, r.y)}"
+        assert r.common_neighbors == (2 if dist == 3 else 1)
+    scores = [r.jaccard_x1000 for r in rows]
+    assert scores == sorted(scores, reverse=True), "top-k must come out rank-ordered"
