@@ -187,6 +187,21 @@ def main() -> None:
                 pass
         return s
 
+    # Contention canary: a ~0.1s pure-CPU probe run right after each refined
+    # query. If it reads high against the start-of-run baseline, the host
+    # was busy during that query's measurement window (observed in r7: a
+    # periodic external burst inflated 7 consecutive refine cells 2-3x —
+    # min-of-3 can't help when all three reps sit inside a ~2-minute burst),
+    # so wait the burst out and re-measure once. The per-query canary value
+    # is recorded in BENCH_DETAIL so any cell measured hot is identifiable.
+    def _quick_canary(s) -> float:
+        t0 = time.perf_counter()
+        s.range(50_000_000).selectExpr("sum(id * 3 + (id & 7))").collect()
+        return time.perf_counter() - t0
+
+    calib_base = calibration["start"]["calib_cpu_scan"]
+    refine_canary: dict[str, float] = {}
+
     refine_t0 = time.perf_counter()
     for name in top20:
         if time.perf_counter() - refine_t0 > refine_budget:
@@ -194,29 +209,60 @@ def main() -> None:
             break
         try:
             spark = _fresh_session(name)
-            best = None
             # expensive entries amortize their own noise; cap their repeats
             repeats = 2 if first_pass[name] > 10.0 else 3
-            for _ in range(repeats):
-                if name.startswith("etl_e2e_"):
-                    IR.PHASE_LOG.clear()
-                t0 = time.perf_counter()
-                by_name[name].build(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                if (
-                    name.startswith("etl_e2e_")
-                    and IR.PHASE_LOG
-                    and (best is None or dt < best)
-                ):
-                    # keep the phase decomposition of the BEST repeat — the
-                    # one whose total lands in the timings map
-                    phase_timings[name] = [dict(p) for p in IR.PHASE_LOG]
-                best = dt if best is None else min(best, dt)
-                if time.perf_counter() - refine_t0 > refine_budget:
-                    break
+
+            def _run_reps() -> float | None:
+                best = None
+                for _ in range(repeats):
+                    if name.startswith("etl_e2e_"):
+                        IR.PHASE_LOG.clear()
+                    t0 = time.perf_counter()
+                    by_name[name].build(spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    if (
+                        name.startswith("etl_e2e_")
+                        and IR.PHASE_LOG
+                        and (best is None or dt < best)
+                    ):
+                        # keep the phase decomposition of the BEST repeat —
+                        # the one whose total lands in the timings map
+                        phase_timings[name] = [dict(p) for p in IR.PHASE_LOG]
+                    best = dt if best is None else min(best, dt)
+                    if time.perf_counter() - refine_t0 > refine_budget:
+                        break
+                return best
+
+            best = _run_reps()
+            canary = _quick_canary(spark)
+            retried = False
+            if (
+                canary > 1.6 * calib_base
+                and time.perf_counter() - refine_t0 < refine_budget
+            ):
+                # measured during a load burst: wait it out (bounded), then
+                # re-measure; keep the min across both attempts
+                settle_t0 = time.perf_counter()
+                while time.perf_counter() - settle_t0 < 45:
+                    time.sleep(5)
+                    canary = _quick_canary(spark)
+                    if canary <= 1.3 * calib_base:
+                        break
+                rerun = _run_reps()
+                if rerun is not None:
+                    best = rerun if best is None else min(best, rerun)
+                canary = _quick_canary(spark)
+                retried = True
+            refine_canary[name] = round(canary, 3)
             timings[name] = round(best, 3)
-            methodology[name] = f"fresh-session-min-of-{repeats}"
-            print(f"# refine {name}: {first_pass[name]:.3f}s -> {best:.3f}s", file=sys.stderr)
+            methodology[name] = f"fresh-session-min-of-{repeats}" + (
+                "+contended-retry" if retried else ""
+            )
+            print(
+                f"# refine {name}: {first_pass[name]:.3f}s -> {best:.3f}s"
+                + (f" (contended, canary {canary:.2f}s)" if retried else ""),
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001 - keep the first-pass number
             print(f"# refine {name} failed, keeping first pass: {e}", file=sys.stderr)
         gc.collect()
@@ -247,6 +293,7 @@ def main() -> None:
         "first_pass": first_pass,
         "methodology": methodology,
         "calibration": calibration,
+        "refine_canary": refine_canary,
         "phase_timings": phase_timings,
         "errors": errors,
     }

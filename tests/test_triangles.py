@@ -140,6 +140,12 @@ def test_blocked_wedge_join_matches_plain_join_on_pseudorandom_graph(spark):
     want = {(r["x"], r["y"]): r["cn"] for r in plain.collect()}
     got = {(r["x"], r["y"]): r["cn"] for r in _blocked_common_neighbors(adj, cap=4).collect()}
     assert got == want
+    # sub-cap max degree dispatches to the plain wedge join; same pairs
+    got_plain = {
+        (r["x"], r["y"]): r["cn"]
+        for r in _blocked_common_neighbors(adj, cap=1000).collect()
+    }
+    assert got_plain == want
 
 
 def test_link_pred_chain_distances_and_counts(spark, sf_smoke):
