@@ -79,6 +79,26 @@ _EDGES_SQL = f"""
 """
 
 
+# A localCheckpointed relation carries NO stats, so the optimizer's size
+# estimate for it straddles the autoBroadcast threshold and the physical
+# plan flips run-to-run between SMJ and a BroadcastExchange of the whole
+# relation (measured at sf30: ~6-20 s with a pinned partition-local build
+# vs 190-500+ s when the 9M-row edge set won the broadcast). Above this
+# edge count, every join against a checkpointed graph relation gets a
+# shuffle_hash hint: same equi-join shuffle, no sort, no driver-side
+# relation, AQE still splits skew. Below it, Catalyst's choice (broadcast
+# of a few-MB side) is strictly better — the hint would force full shuffle
+# machinery on kB-sized inputs. One count() on the already-materialized
+# checkpoint decides, the threshold-guard pattern used across the graph
+# operators.
+NO_BROADCAST_MIN_EDGES = 1_000_000
+
+
+def _nb(df: DataFrame, big: bool) -> DataFrame:
+    """shuffle_hash-pin a corpus-sized stats-free join side when `big`."""
+    return df.hint("shuffle_hash") if big else df
+
+
 def triangle_corner_counts(e: DataFrame) -> DataFrame:
     """Per-node triangle membership over canonical (a < b) undirected edges.
 
@@ -87,11 +107,14 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
     # Three consumers read the edge set (degree count, orientation, closing
     # join) — materialize it once instead of recomputing its lineage 3x.
     e = e.localCheckpoint(eager=True)
-    # Degree-ordered orientation: src = (deg, id)-smaller endpoint.
+    big = e.count() >= NO_BROADCAST_MIN_EDGES
     deg = (
         e.select(F.col("a").alias("n")).union(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # three consumers (da, db, final corner join): one materialization,
+        # bounded by vertex count — the same class as e's checkpoint above
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
@@ -99,8 +122,8 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
     oriented = (
-        e.join(da, "a")
-        .join(db, "b")
+        e.join(_nb(da, big), "a")
+        .join(_nb(db, big), "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -113,9 +136,9 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
     # the canonical (a, b) form instead.
     w1 = oriented.select(F.col("src").alias("ctr"), F.col("dst").alias("x"))
     w2 = oriented.select(F.col("src").alias("ctr"), F.col("dst").alias("y"))
-    wedges = w1.join(w2, "ctr").filter(F.col("x") < F.col("y"))
+    wedges = w1.join(_nb(w2, big), "ctr").filter(F.col("x") < F.col("y"))
     tri = wedges.join(
-        e, (wedges.x == e.a) & (wedges.y == e.b)
+        _nb(e, big), (wedges.x == e.a) & (wedges.y == e.b)
     ).select(F.col("ctr").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3"))
 
     corners = (
@@ -125,7 +148,7 @@ def triangle_corner_counts(e: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return corners.join(deg, "n")
+    return corners.join(_nb(deg, big), "n")
 
 
 LINK_PRED_TOP_K = 20
@@ -148,7 +171,7 @@ def _blocked_adjacency(adj: DataFrame, cap: int, degc: DataFrame | None = None) 
         degc = adj.groupBy("node").agg(F.count(F.lit(1)).alias("cdeg"))
     return (
         adj.select(F.col("nb").alias("ctr"), F.col("node").alias("v"))
-        .join(degc.select(F.col("node").alias("ctr"), "cdeg"), "ctr")
+        .join(degc.select(F.col("node").alias("ctr"), "cdeg").hint("shuffle_hash"), "ctr")
         .withColumn("nblk", F.ceil(F.col("cdeg") / F.lit(cap)).cast("int"))
         .withColumn("blk", F.pmod(F.xxhash64("v"), F.col("nblk")).cast("int"))
     )
@@ -184,13 +207,20 @@ def _blocked_common_neighbors(adj: DataFrame, cap: int = LINK_PRED_BLOCK) -> Dat
     plus two explodes per adjacency row — measured ~35% of the query at
     sf0.1, where the fixture's max degree (~30) never approaches the cap.
     """
+    # same no-broadcast discipline as triangle_corner_counts (see
+    # NO_BROADCAST_MIN_EDGES): the max-degree probe's aggregate also yields
+    # the adjacency row count, so bigness costs no extra action
     degc = adj.groupBy("node").agg(F.count(F.lit(1)).alias("cdeg"))
-    max_deg = degc.agg(F.max("cdeg")).first()[0] or 0
+    probe = degc.agg(
+        F.max("cdeg").alias("mx"), F.sum("cdeg").alias("rows")
+    ).first()
+    max_deg = probe["mx"] or 0
+    big = (probe["rows"] or 0) >= 2 * NO_BROADCAST_MIN_EDGES
     if max_deg <= cap:
         xs_p = adj.select(F.col("nb").alias("ctr"), F.col("node").alias("xv"))
         ys_p = adj.select(F.col("nb").alias("ctr"), F.col("node").alias("yv"))
         return (
-            xs_p.join(ys_p, "ctr")
+            xs_p.join(_nb(ys_p, big), "ctr")
             .filter(F.col("xv") < F.col("yv"))
             .groupBy(F.col("xv").alias("x"), F.col("yv").alias("y"))
             .agg(F.count(F.lit(1)).alias("cn"))
@@ -209,7 +239,7 @@ def _blocked_common_neighbors(adj: DataFrame, cap: int = LINK_PRED_BLOCK) -> Dat
         F.col("v").alias("yv"),
     )
     return (
-        xs.join(ys, ["ctr", "lo", "hi"])
+        xs.join(_nb(ys, big), ["ctr", "lo", "hi"])
         .filter((F.col("lo") < F.col("hi")) | (F.col("xv") < F.col("yv")))
         .groupBy(
             F.least("xv", "yv").alias("x"), F.greatest("xv", "yv").alias("y")
@@ -224,17 +254,27 @@ def _link_prediction_core(e: DataFrame) -> DataFrame:
     Separated from the fixture graph (same split as triangle_corner_counts)
     so the constant-degree chain probe can run the identical operator."""
     e = e.localCheckpoint(eager=True)
+    big = e.count() >= NO_BROADCAST_MIN_EDGES
     adj = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).union(
         e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
+    # vertex-sized degree table; stats-free post-checkpoint lineage, so the
+    # no-broadcast guard applies above the edge threshold — see
+    # NO_BROADCAST_MIN_EDGES
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     cn = _blocked_common_neighbors(adj)
     non_adjacent = cn.join(
-        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_anti"
+        _nb(e.select(F.col("a").alias("x"), F.col("b").alias("y")), big),
+        ["x", "y"],
+        "left_anti",
     )
     scored = (
-        non_adjacent.join(deg.select(F.col("node").alias("x"), F.col("deg").alias("dx")), "x")
-        .join(deg.select(F.col("node").alias("y"), F.col("deg").alias("dy")), "y")
+        non_adjacent.join(
+            _nb(deg.select(F.col("node").alias("x"), F.col("deg").alias("dx")), big), "x"
+        )
+        .join(
+            _nb(deg.select(F.col("node").alias("y"), F.col("deg").alias("dy")), big), "y"
+        )
         .select(
             "x",
             "y",
@@ -347,8 +387,11 @@ def _chain_triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(F.col("n").alias("a"), (F.col("n") + 2).alias("b"))
     )
     # semi-join keeps only edges whose far endpoint exists (key space may
-    # have holes); broadcast is wrong here — nodes is corpus-sized — but the
-    # equi-join is a plain shuffle join AQE handles
+    # have holes). nodes projects straight off parquet, so unlike the
+    # checkpointed relations above its stats are REAL: Catalyst broadcasts
+    # it only while it genuinely fits the 64MB threshold (good at small SF,
+    # self-capped at large — a corpus-sized table blows the threshold and
+    # demotes to a shuffle join on its own). No hint needed.
     return cand.join(nodes, "b", "left_semi").select("a", "b")
 
 

@@ -51,6 +51,7 @@ def evict_stale(cache: dict, spark: SparkSession) -> str:
 
 def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     cpus = default_parallelism()
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -62,7 +63,15 @@ def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: in
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
+        # Commit and pre-touch the whole heap at JVM start. Under this
+        # microVM kernel, demand-growing the heap mid-query page-faults at
+        # a rate that turned first-of-a-shape 18M-row joins into 45-130 s
+        # stalls at <50% CPU (measured; 1.3-3 s with pre-touch, and
+        # run-over-run variance collapsed with it). Upfront cost is ~1 s at
+        # 8g / ~4 s at 48g, paid once per JVM instead of at an arbitrary
+        # point inside the first large shuffle.
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         # The console progress bar writes \r-fragments to stderr with no
         # trailing newline; under a merged-stream harness those glue onto
