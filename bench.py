@@ -172,6 +172,12 @@ def main() -> None:
         s = get_spark("bench-refine")
         s.sparkContext.setLogLevel("ERROR")
         s.range(1_000_000).selectExpr("sum(id)").collect()
+        # warm-and-discard one canary-shaped probe: the per-cell contention
+        # canary is otherwise the FIRST execution of its codegen shape in
+        # this fresh JVM, and compile/JIT can push a cold probe past the
+        # 1.6x gate on an idle host — a spurious settle loop plus a
+        # '+contended-retry' mislabel (r8 advisor)
+        s.range(50_000_000).selectExpr("sum(id * 3 + (id & 7))").collect()
         s.range(cpus * 4).repartition(cpus).mapInPandas(_warm, "id long").count()
         for t in DRIVER_TABLES:
             load_table(s, sf_dir, t).count()
@@ -202,57 +208,75 @@ def main() -> None:
     calib_base = calibration["start"]["calib_cpu_scan"]
     refine_canary: dict[str, float] = {}
 
-    refine_t0 = time.perf_counter()
+    from phabricator_etl_spark.benchutil import WARM_DEPS, cache_rollback, cache_snapshot
+
+    def _measure(spark, name: str, repeats: int, deadline: float) -> float | None:
+        """min-of-`repeats` under the scale-bench model-cache discipline
+        (benchutil.py): layered-model deps run UNTIMED first, and the
+        session model caches roll back before EVERY rep so repeats re-pay
+        builds the timed query itself performs — without this, rep 2+ of
+        kmeans_cells (and any contended-retry rerun) silently measured an
+        apply-with-warm-model."""
+        dep = WARM_DEPS.get(name)
+        if dep is not None and dep in by_name:
+            try:
+                by_name[dep].build(spark, sf_dir).count()
+            except Exception:  # noqa: BLE001 - dep warm-up is best-effort
+                pass
+        snap = cache_snapshot()
+        best = None
+        for _ in range(repeats):
+            cache_rollback(snap)
+            if name.startswith("etl_e2e_"):
+                IR.PHASE_LOG.clear()
+            t0 = time.perf_counter()
+            by_name[name].build(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if (
+                name.startswith("etl_e2e_")
+                and IR.PHASE_LOG
+                and (best is None or dt < best)
+            ):
+                # keep the phase decomposition of the BEST repeat —
+                # the one whose total lands in the timings map
+                phase_timings[name] = [dict(p) for p in IR.PHASE_LOG]
+            best = dt if best is None else min(best, dt)
+            if time.perf_counter() > deadline:
+                break
+        return best
+
+    def _measure_with_canary(spark, name: str, repeats: int, deadline: float):
+        best = _measure(spark, name, repeats, deadline)
+        canary = _quick_canary(spark)
+        retried = False
+        if canary > 1.6 * calib_base and time.perf_counter() < deadline:
+            # measured during a load burst: wait it out (bounded), then
+            # re-measure; keep the min across both attempts
+            settle_t0 = time.perf_counter()
+            while time.perf_counter() - settle_t0 < 45:
+                time.sleep(5)
+                canary = _quick_canary(spark)
+                if canary <= 1.3 * calib_base:
+                    break
+            rerun = _measure(spark, name, repeats, deadline)
+            if rerun is not None:
+                best = rerun if best is None else min(best, rerun)
+            canary = _quick_canary(spark)
+            retried = True
+        return best, canary, retried
+
+    refine_deadline = time.perf_counter() + refine_budget
     for name in top20:
-        if time.perf_counter() - refine_t0 > refine_budget:
+        if time.perf_counter() > refine_deadline:
             print(f"# refine budget exhausted before {name}", file=sys.stderr)
             break
         try:
             spark = _fresh_session(name)
             # expensive entries amortize their own noise; cap their repeats
             repeats = 2 if first_pass[name] > 10.0 else 3
-
-            def _run_reps() -> float | None:
-                best = None
-                for _ in range(repeats):
-                    if name.startswith("etl_e2e_"):
-                        IR.PHASE_LOG.clear()
-                    t0 = time.perf_counter()
-                    by_name[name].build(spark, sf_dir).count()
-                    dt = time.perf_counter() - t0
-                    if (
-                        name.startswith("etl_e2e_")
-                        and IR.PHASE_LOG
-                        and (best is None or dt < best)
-                    ):
-                        # keep the phase decomposition of the BEST repeat —
-                        # the one whose total lands in the timings map
-                        phase_timings[name] = [dict(p) for p in IR.PHASE_LOG]
-                    best = dt if best is None else min(best, dt)
-                    if time.perf_counter() - refine_t0 > refine_budget:
-                        break
-                return best
-
-            best = _run_reps()
-            canary = _quick_canary(spark)
-            retried = False
-            if (
-                canary > 1.6 * calib_base
-                and time.perf_counter() - refine_t0 < refine_budget
-            ):
-                # measured during a load burst: wait it out (bounded), then
-                # re-measure; keep the min across both attempts
-                settle_t0 = time.perf_counter()
-                while time.perf_counter() - settle_t0 < 45:
-                    time.sleep(5)
-                    canary = _quick_canary(spark)
-                    if canary <= 1.3 * calib_base:
-                        break
-                rerun = _run_reps()
-                if rerun is not None:
-                    best = rerun if best is None else min(best, rerun)
-                canary = _quick_canary(spark)
-                retried = True
+            best, canary, retried = _measure_with_canary(
+                spark, name, repeats, refine_deadline
+            )
             refine_canary[name] = round(canary, 3)
             timings[name] = round(best, 3)
             methodology[name] = f"fresh-session-min-of-{repeats}" + (
@@ -266,6 +290,54 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - keep the first-pass number
             print(f"# refine {name} failed, keeping first pass: {e}", file=sys.stderr)
         gc.collect()
+
+    # ---- tail pass (r7 verdict #3): min-of-3 for every remaining entry ----
+    # A fresh JVM per entry across all ~225 queries would spend ~45 min on
+    # session spinups alone (the documented cost argument for not extending
+    # the top-40 discipline 1:1). Instead the tail runs in fresh JVMs of
+    # TAIL_BATCH entries each: every cell still gets min-of-3 with a
+    # per-cell contention canary and the model-cache rollback, while
+    # shared-JVM wear (block storage, GC debt — the reason single-shot
+    # numbers drifted ±15%) is bounded by the batch length instead of the
+    # whole run. Tagged fresh-batch-jvm-min-of-N so round-over-round
+    # comparisons never pair these with single-shot or fresh-session cells.
+    tail_budget = float(os.environ.get("SPARK_GRAFT_TAIL_BUDGET", "900"))
+    tail = [
+        n
+        for n in sorted(timings, key=lambda k: timings[k], reverse=True)
+        if methodology[n] == "shared-jvm-single-shot"
+    ]
+    TAIL_BATCH = 40
+    tail_deadline = time.perf_counter() + tail_budget
+    in_batch = TAIL_BATCH
+    for name in tail:
+        if time.perf_counter() > tail_deadline:
+            print(
+                f"# tail budget exhausted before {name} "
+                f"({tail.index(name)}/{len(tail)} done)",
+                file=sys.stderr,
+            )
+            break
+        try:
+            if in_batch >= TAIL_BATCH:
+                # "phab_batch" prefix-matches the world-ensure branch: tail
+                # batches interleave phab entries, so every batch session
+                # carries the fixture world
+                spark = _fresh_session("phab_batch")
+                in_batch = 0
+            in_batch += 1
+            best, canary, retried = _measure_with_canary(spark, name, 3, tail_deadline)
+            if best is None:
+                continue
+            refine_canary[name] = round(canary, 3)
+            timings[name] = round(best, 3)
+            methodology[name] = "fresh-batch-jvm-min-of-3" + (
+                "+contended-retry" if retried else ""
+            )
+        except Exception as e:  # noqa: BLE001 - keep the first-pass number
+            print(f"# tail {name} failed, keeping first pass: {e}", file=sys.stderr)
+        if in_batch % 10 == 0:
+            gc.collect()
     total = sum(timings.values())
     # end-of-run calibration in whatever session state the refine left
     # behind: start-vs-end delta = within-run wear; round-over-round start

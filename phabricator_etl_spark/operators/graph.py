@@ -196,7 +196,10 @@ def connected_components(
     }
     prev_sum = labels.agg(F.sum("component")).collect()[0][0] if numeric_ids else None
 
-    for _ in range(max_iterations):
+    from .iterative import ROUNDS  # round-count instrumentation (see there)
+
+    for rnd in range(max_iterations):
+        ROUNDS["connected_components"] = rnd + 1
         # Candidate labels flowing across edges (neighbor's current label),
         # folded into one groupBy with the vertex's own label — the union
         # replaces a separate left-join-back, saving a shuffle per round.

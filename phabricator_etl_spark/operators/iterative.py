@@ -22,6 +22,14 @@ from ..ckpt import CheckpointChain, tracked_local_checkpoint
 from ..query import Q
 from ..sources.catalog import load_table as _t
 
+# Rounds executed by the LAST run of each fixpoint operator in this process,
+# keyed by operator family (also written by graph.connected_components).
+# Read by tools/scale_bench.py into the scale artifact so a reader can
+# distinguish "time grew because rounds grew" (algorithmic: peel depth,
+# log-diameter) from "time grew at constant rounds" (host contention) —
+# the distinction VERDICT r7 #1 could not make from the artifact alone.
+ROUNDS: dict[str, int] = {}
+
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 50) -> DataFrame:
     """Hop distance from a seed set over DIRECTED edges (src -> dst).
@@ -46,6 +54,7 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 5
     frontier = dist
     settled_chunks = [dist]  # checkpointed pieces; union only at the end
     for hop in range(1, max_iterations + 1):
+        ROUNDS["bfs"] = hop
         # one anti-join against the lazy union of checkpointed chunks: the
         # union is a plan over already-cached partitions, so no extra
         # materialization per round
@@ -169,7 +178,8 @@ def pointer_jump_distances(
     # distance is elementwise non-decreasing and strictly increases somewhere
     # iff any pointer can still jump, so one scalar sum detects the fixpoint.
     prev_sum = ptr.agg(F.sum("distance")).collect()[0][0] or 0
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
+        ROUNDS["pointer_jump"] = rnd + 1
         j = ptr.select(
             F.col("id").alias("j_id"),
             F.col("anc").alias("j_anc"),
@@ -511,7 +521,8 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
     # instead of holding one edge-set copy per peeling round.
     e_chain, bad_chain = CheckpointChain(), CheckpointChain()
     e = e_chain.step(edges.select("a", "b"))
-    for _ in range(_KCORE_MAX_ROUNDS):
+    for rnd in range(_KCORE_MAX_ROUNDS):
+        ROUNDS["kcore"] = rnd + 1
         deg = (
             e.select(F.col("a").alias("node"))
             .union(e.select(F.col("b").alias("node")))

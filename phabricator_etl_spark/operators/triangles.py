@@ -163,15 +163,22 @@ LINK_PRED_TOP_K = 20
 LINK_PRED_BLOCK = 1024
 
 
-def _blocked_adjacency(adj: DataFrame, cap: int, degc: DataFrame | None = None) -> DataFrame:
+def _blocked_adjacency(
+    adj: DataFrame, cap: int, degc: DataFrame | None = None, big: bool = False
+) -> DataFrame:
     """(node, nb) -> (ctr, v, nblk, blk): each center's adjacency hash-split
     into ceil(deg/cap) blocks. Separated from the join so the hot-hub test
-    can pin block occupancy directly."""
+    can pin block occupancy directly. ``big`` follows the same
+    NO_BROADCAST_MIN_EDGES discipline as every other graph join: a small
+    graph reaching this path (a single >cap hub in a kB-sized vertex table)
+    keeps Catalyst's broadcast, which is strictly better there — the
+    unconditional shuffle_hash the r8 advisor flagged forced full shuffle
+    machinery on exactly the inputs the threshold comment says not to."""
     if degc is None:
         degc = adj.groupBy("node").agg(F.count(F.lit(1)).alias("cdeg"))
     return (
         adj.select(F.col("nb").alias("ctr"), F.col("node").alias("v"))
-        .join(degc.select(F.col("node").alias("ctr"), "cdeg").hint("shuffle_hash"), "ctr")
+        .join(_nb(degc.select(F.col("node").alias("ctr"), "cdeg"), big), "ctr")
         .withColumn("nblk", F.ceil(F.col("cdeg") / F.lit(cap)).cast("int"))
         .withColumn("blk", F.pmod(F.xxhash64("v"), F.col("nblk")).cast("int"))
     )
@@ -225,7 +232,7 @@ def _blocked_common_neighbors(adj: DataFrame, cap: int = LINK_PRED_BLOCK) -> Dat
             .groupBy(F.col("xv").alias("x"), F.col("yv").alias("y"))
             .agg(F.count(F.lit(1)).alias("cn"))
         )
-    adjb = _blocked_adjacency(adj, cap, degc)
+    adjb = _blocked_adjacency(adj, cap, degc, big)
     xs = adjb.select(
         "ctr",
         F.col("blk").alias("lo"),

@@ -49,6 +49,34 @@ def evict_stale(cache: dict, spark: SparkSession) -> str:
     return app_id
 
 
+def _mem_to_mb(mem: str) -> int:
+    """Parse a JVM memory string ('8g', '512m', '48G') to MiB."""
+    unit = mem[-1].lower()
+    val = float(mem[:-1]) if unit in "gmk" else float(mem)
+    return int(val * {"g": 1024, "m": 1, "k": 1 / 1024}.get(unit, 1024))
+
+
+def _initial_heap(mem: str) -> str:
+    """-Xms value for the pre-touched heap, clamped to what the host can back.
+
+    -Xms == -Xmx with +AlwaysPreTouch commits the WHOLE heap at JVM start;
+    with SPARK_GRAFT_DRIVER_MEM larger than the host's free RAM that fails
+    (or invites the OOM killer) at startup, where a demand-grown heap would
+    have started fine (r8 advisor). Clamp -Xms to ~60% of MemAvailable —
+    -Xmx stays at the configured cap, so the only cost of clamping is that
+    growth beyond the clamp pays page faults again, on exactly the hosts
+    that could never pre-touch the full heap anyway."""
+    mem_mb = _mem_to_mb(mem)
+    try:
+        with open("/proc/meminfo") as f:
+            avail_kb = next(
+                int(line.split()[1]) for line in f if line.startswith("MemAvailable:")
+            )
+        return f"{min(mem_mb, int(avail_kb // 1024 * 0.6))}m"
+    except (OSError, StopIteration, ValueError):
+        return mem  # no /proc (non-Linux): keep the old equal-to-Xmx behavior
+
+
 def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     cpus = default_parallelism()
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
@@ -70,8 +98,15 @@ def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: in
         # stalls at <50% CPU (measured; 1.3-3 s with pre-touch, and
         # run-over-run variance collapsed with it). Upfront cost is ~1 s at
         # 8g / ~4 s at 48g, paid once per JVM instead of at an arbitrary
-        # point inside the first large shuffle.
-        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
+        # point inside the first large shuffle. -Xms is clamped to available
+        # RAM (see _initial_heap). CAVEAT: extraJavaOptions only take effect
+        # for the FIRST SparkContext in a Python process — later get_spark()
+        # calls reuse the running JVM, so a changed SPARK_GRAFT_DRIVER_MEM
+        # needs a fresh process to apply.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_initial_heap(mem)} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         # The console progress bar writes \r-fragments to stderr with no
         # trailing newline; under a merged-stream harness those glue onto
