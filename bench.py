@@ -205,7 +205,11 @@ def main() -> None:
         s.range(50_000_000).selectExpr("sum(id * 3 + (id & 7))").collect()
         return time.perf_counter() - t0
 
-    calib_base = calibration["start"]["calib_cpu_scan"]
+    # Canary floor = cheapest CPU-probe reading ever seen this run (same
+    # design as scale_bench's): a fixed start-of-run baseline is itself one
+    # sample — if the START was contended, a too-high baseline masks every
+    # later burst. One-element list so the closures below can update it.
+    calib_floor = [calibration["start"]["calib_cpu_scan"]]
     refine_canary: dict[str, float] = {}
 
     from phabricator_etl_spark.benchutil import WARM_DEPS, cache_rollback, cache_snapshot
@@ -248,20 +252,23 @@ def main() -> None:
     def _measure_with_canary(spark, name: str, repeats: int, deadline: float):
         best = _measure(spark, name, repeats, deadline)
         canary = _quick_canary(spark)
+        calib_floor[0] = min(calib_floor[0], canary)
         retried = False
-        if canary > 1.6 * calib_base and time.perf_counter() < deadline:
+        if canary > 1.6 * calib_floor[0] and time.perf_counter() < deadline:
             # measured during a load burst: wait it out (bounded), then
             # re-measure; keep the min across both attempts
             settle_t0 = time.perf_counter()
             while time.perf_counter() - settle_t0 < 45:
                 time.sleep(5)
                 canary = _quick_canary(spark)
-                if canary <= 1.3 * calib_base:
+                calib_floor[0] = min(calib_floor[0], canary)
+                if canary <= 1.3 * calib_floor[0]:
                     break
             rerun = _measure(spark, name, repeats, deadline)
             if rerun is not None:
                 best = rerun if best is None else min(best, rerun)
             canary = _quick_canary(spark)
+            calib_floor[0] = min(calib_floor[0], canary)
             retried = True
         return best, canary, retried
 
@@ -366,6 +373,8 @@ def main() -> None:
         "methodology": methodology,
         "calibration": calibration,
         "refine_canary": refine_canary,
+        # the uncontended-floor the per-cell canaries were judged against
+        "canary_floor": round(calib_floor[0], 3),
         "phase_timings": phase_timings,
         "errors": errors,
     }

@@ -42,6 +42,19 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
+# Storage level note (r8): the default deserialized level thrashes once the
+# live checkpoint working set crosses the storage pool — at sf30 the
+# bipartite k-core's per-round EDGE-set generations (180M rows, ~10 GB each
+# as Java objects) blew the 48g driver's ~29 GB storage fraction and turned
+# a 59 s sf10 peel into 875 s (14.8x on a 3x step, rounds constant at 2).
+# A blanket switch to serialized memory (StorageLevel.MEMORY_AND_DISK in
+# 4.x naming) was tried and rejected: its A/B read 2.5x slower at sf10, and
+# although that sample was contention-contaminated (canary 0.69 s vs 0.1 s
+# floor), per-round deserialization of vertex-sized states is a real cost
+# every chain user would pay. The durable fix was structural — operators
+# keep per-round state VERTEX-sized and checkpoint big immutable relations
+# once (see kcore_subgraph) — so the default level stays.
+
 # Serializes every (snapshot, checkpoint, snapshot) capture window — see
 # module docstring. Coarse by design: the eager checkpoint job runs inside
 # the window, so concurrent iterative operators take turns checkpointing.

@@ -503,42 +503,125 @@ _CHAIN_EDGES_SQL = """
 
 KCORE_K = 2  # non-empty at every test SF (the residue graph only grows a 3-core at sf>=0.01)
 _KCORE_MAX_ROUNDS = 64
+# Per-round peel sets above this row count fall back from a broadcast
+# semi-join to shuffle_hash. 16M longs ≈ 128 MB is a routine broadcast for
+# any executor; a bigger peel round (only the first round of a very sparse
+# graph) pays the edge shuffle that round instead of shipping a giant
+# driver-side build. The cap is set ABOVE the bipartite fixture's sf30
+# round-1 peel (9.9M) so the measured scale curve runs one code path at
+# every SF.
+_KCORE_BROADCAST_BAD_ROWS = 16_000_000
+# Target endpoint rows per task for the initial degree aggregation. The
+# union's node keys are NEARLY UNIQUE within the edge checkpoint's
+# hash-on-(a,b) partitions, so map-side partial aggregation compresses
+# ~nothing while building one hash entry per input row — at sf30 that is a
+# ~10M-entry per-task hash that overflows execution memory and falls back
+# to sort-spill (measured 9.8 s -> 119.3 s, 12x on a 3x step, at 32
+# inherited partitions). Shuffling the union BY NODE first makes every
+# task's hash |V|/parts-sized and loses only a useless combine; this cap
+# sizes that shuffle's partition count to the data (same layout-to-graph
+# sizing as bfs_distances). Re-checkpointing the edges at a higher
+# partition count instead was tried and rejected: the chain holds two
+# generations, and two 10 GB edge copies re-triggered the storage thrash
+# (measured 602 s at sf30, vs 274 s before and ~150 s with this fix).
+_KCORE_AGG_PART_ROWS = 3_000_000
 
 
 def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
     """Iterative k-core peeling over canonical (a < b) undirected edges.
 
-    Each round drops every vertex whose CURRENT degree is < k, then removes
-    its edges; the fixpoint is the k-core. Monotone shrinkage ⇒ #rounds ≤
-    peeling depth (tiny for real degree distributions); each round is one
-    degree aggregation + one semi-join-shaped filter, both keyed on vertex
-    id. The per-round collect() is a single scalar (the standard convergence
-    probe, same as CC/PageRank here). Returns (node, core_degree) for the
-    surviving vertices.
+    Each round drops every vertex whose CURRENT degree is < k; the fixpoint
+    is the k-core. Returns (node, core_degree) for the surviving vertices.
+
+    DECREMENTAL-DEGREE formulation (r8): the edge set is checkpointed ONCE
+    (immutable) and the full degree aggregation runs ONCE; each round then
+    (1) splits off the sub-k vertices as the round's `bad` set, and
+    (2) subtracts the dead endpoints' edge contributions from the surviving
+    degree table via two broadcast semi-joins against `bad` — a map-side
+    filter over the cached edge blocks, shuffling only the (small) delta.
+    Correctness of the decrement: an edge is subtracted from an endpoint
+    exactly when its OTHER endpoint dies, and a dead vertex's row has
+    already left the degree table, so an edge whose endpoints die in the
+    same (or different) rounds never double-decrements anyone.
+
+    Why not the previous forms: re-materializing the induced EDGE set per
+    round (r7) kept two edge-set generations live — at sf30 (180M edges,
+    ~10 GB each deserialized) that crossed the 48g driver's ~29 GB storage
+    pool and eviction churn turned a 59 s sf10 peel into 875 s (14.8x on a
+    3x step at CONSTANT round count, measured r8). Filtering with alive-set
+    semi-joins fixed storage but re-SHUFFLED the full edge set every round
+    (alive is vertex-count-sized, never broadcastable) — measured ~2x the
+    per-round cost at sf10. Here the rolling state (degree table, peel
+    sets) is vertex-sized and the edge relation is read-only: block
+    footprint is one edge checkpoint + two degree generations, and the only
+    edge-sized shuffle in the whole peel is the initial aggregation.
     """
-    # Two rolling chains (ckpt.py): the surviving edge set and the per-round
-    # peel set each replace themselves every round — free the dead blocks
-    # instead of holding one edge-set copy per peeling round.
-    e_chain, bad_chain = CheckpointChain(), CheckpointChain()
-    e = e_chain.step(edges.select("a", "b"))
+    e_chain, deg_chain, bad_chain = CheckpointChain(), CheckpointChain(), CheckpointChain()
+    e_base = e_chain.step(edges.select("a", "b"))
+    n_edges = e_base.count()
+    agg_parts = max(
+        e_base.rdd.getNumPartitions(),
+        int(2 * n_edges // _KCORE_AGG_PART_ROWS) + 1,
+    )
+    deg = deg_chain.step(
+        e_base.select(F.col("a").alias("node"))
+        .union(e_base.select(F.col("b").alias("node")))
+        # node-clustered shuffle BEFORE the agg: bounds each task's agg
+        # hash at |V|/agg_parts entries (see _KCORE_AGG_PART_ROWS); the
+        # groupBy reuses this partitioning, so it adds no extra exchange
+        .repartition(agg_parts, "node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
     for rnd in range(_KCORE_MAX_ROUNDS):
         ROUNDS["kcore"] = rnd + 1
-        deg = (
-            e.select(F.col("a").alias("node"))
-            .union(e.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
         bad = bad_chain.step(deg.filter(F.col("deg") < k).select("node"))
-        if bad.count() == 0:
-            # deg (the return plan) reads the final e checkpoint — keep it;
-            # the peel sets are loop-internal
+        n_bad = bad.count()
+        if n_bad == 0:
+            # deg (the return plan) is its own checkpoint, so EVERY loop
+            # relation — the edge checkpoint included — is loop-internal
+            # and freed here. Releasing the edge blocks eagerly matters:
+            # back-to-back runs in one session (min-of-N bench reps)
+            # otherwise stack a ~10 GB edge set per run faster than the
+            # async ContextCleaner drops them (measured: sf30 rep1 OOM).
             bad_chain.dispose_all()
-            return deg.select(F.col("node").cast("long"), F.col("deg").cast("long").alias("core_degree"))
-        e = e_chain.step(
-            e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
-            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
-            .select("a", "b")
+            e_chain.dispose_all()
+            return deg.select(
+                F.col("node").cast("long"),
+                F.col("deg").cast("long").alias("core_degree"),
+            )
+        bcast = n_bad <= _KCORE_BROADCAST_BAD_ROWS
+
+        def _lost(side: str, other: str) -> DataFrame:
+            # edges whose `side` endpoint died this round cost their
+            # `other` endpoint one degree
+            b_side = bad.withColumnRenamed("node", side)
+            b_side = F.broadcast(b_side) if bcast else b_side.hint("shuffle_hash")
+            return e_base.join(b_side, side, "left_semi").select(
+                F.col(other).alias("node")
+            )
+
+        # One hash aggregation replaces agg-then-left-join: survivors carry
+        # (deg, base=1), each lost edge endpoint carries (-1, base=0), and
+        # post-agg rows without a base row are dead nodes' stray deltas —
+        # dropped. Same update, no 51M-row sort-merge join (its sort was a
+        # measured super-linear stage at sf30), and the node shuffle is
+        # sized like the initial aggregation.
+        survivors = deg.filter(F.col("deg") >= k).select(
+            "node", F.col("deg").alias("val"), F.lit(1).alias("base")
+        )
+        losses = (
+            _lost("a", "b")
+            .unionByName(_lost("b", "a"))
+            .select("node", F.lit(-1).cast("long").alias("val"), F.lit(0).alias("base"))
+        )
+        deg = deg_chain.step(
+            survivors.unionByName(losses)
+            .repartition(agg_parts, "node")
+            .groupBy("node")
+            .agg(F.sum("val").alias("deg"), F.max("base").alias("has_base"))
+            .filter(F.col("has_base") == 1)
+            .select("node", "deg")
         )
     raise RuntimeError("k-core peeling did not converge")  # pragma: no cover
 

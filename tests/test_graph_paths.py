@@ -181,6 +181,35 @@ def test_kcore_adversarial_shapes(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def test_kcore_deep_peel_decrements_exactly(spark):
+    """A long pendant chain peels ONE vertex per round — ~20 rounds of the
+    decremental-degree formulation (r8: degrees aggregated once, then
+    per-round broadcast-semi-join decrements), checked against the Python
+    peeling oracle for both an empty and a non-empty fixpoint. Every edge
+    of the chain has its endpoints die in DIFFERENT rounds, and the
+    triangle attachment point loses its pendant edge late — exactly the
+    shapes that would expose a double- or missed-decrement."""
+    from phabricator_etl_spark.operators.iterative import (
+        ROUNDS,
+        kcore_subgraph,
+    )
+
+    # triangle + 20-vertex pendant chain: 2-core = the triangle, reached by
+    # peeling the chain one endpoint per round (~20 rounds, >2 compactions)
+    chain = [(i, i + 1) for i in range(10, 30)]
+    tri = [(0, 1), (1, 2), (0, 2)] + [(2, 10)]
+    edges = tri + chain
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["core_degree"] for r in kcore_subgraph(edf, 2).collect()}
+    assert got == _py_kcore(edges, 2) == {0: 2, 1: 2, 2: 2}
+    assert ROUNDS["kcore"] > 16, "deep peel expected"
+
+    # bare path: 2-core EMPTY, again via a deep one-vertex-per-round cascade
+    path = [(i, i + 1) for i in range(25)]
+    pdf = spark.createDataFrame(path, "a long, b long")
+    assert kcore_subgraph(pdf, 2).count() == 0 and not _py_kcore(path, 2)
+
+
 def test_kcore_oracle_sql_matches_engine_on_empty_and_nonempty_cores(spark):
     """The recursive-CTE oracle must agree with the Spark peel even when the
     k-core is EMPTY: DuckDB halts the recursion at the first empty round, so
