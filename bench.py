@@ -124,7 +124,15 @@ def main() -> None:
     errors: dict[str, str] = {}
     phase_timings: dict[str, list] = {}
     total = 0.0
-    for i, q in enumerate(all_queries()):
+    # debug-only subset filter: smoke the refine/tail measurement machinery
+    # on a handful of queries without paying the full 225-query first pass.
+    # NEVER set for the recorded per-round bench (the driver runs bare).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    queries = all_queries()
+    if only:
+        wanted = set(only.split(","))
+        queries = [q for q in queries if q.name in wanted]
+    for i, q in enumerate(queries):
         if q.name.startswith("etl_e2e_"):
             IR.PHASE_LOG.clear()
         t0 = time.perf_counter()
@@ -212,22 +220,25 @@ def main() -> None:
     calib_floor = [calibration["start"]["calib_cpu_scan"]]
     refine_canary: dict[str, float] = {}
 
-    from phabricator_etl_spark.benchutil import WARM_DEPS, cache_rollback, cache_snapshot
+    from phabricator_etl_spark.benchutil import (
+        WARM_DEPS,
+        cache_rollback,
+        cache_snapshot,
+        clear_owned_caches,
+        warm_staged_inputs,
+    )
 
-    def _measure(spark, name: str, repeats: int, deadline: float) -> float | None:
+    def _measure(spark, name: str, repeats: int, deadline: float, snap) -> float | None:
         """min-of-`repeats` under the scale-bench model-cache discipline
-        (benchutil.py): layered-model deps run UNTIMED first, and the
-        session model caches roll back before EVERY rep so repeats re-pay
-        builds the timed query itself performs — without this, rep 2+ of
-        kmeans_cells (and any contended-retry rerun) silently measured an
-        apply-with-warm-model."""
-        dep = WARM_DEPS.get(name)
-        if dep is not None and dep in by_name:
-            try:
-                by_name[dep].build(spark, sf_dir).count()
-            except Exception:  # noqa: BLE001 - dep warm-up is best-effort
-                pass
-        snap = cache_snapshot()
+        (benchutil.py): the session model caches roll back to `snap` before
+        EVERY rep so repeats re-pay builds the timed query itself performs —
+        without this, rep 2+ of kmeans_cells (and any contended-retry rerun)
+        silently measured an apply-with-warm-model. `snap` is taken ONCE by
+        the caller (after dep warm-up, before the first run) and shared with
+        the contended-retry rerun: a snapshot taken inside the rerun would
+        see the first run's builds as pre-existing and never evict them —
+        the r9 advisor caught exactly that (scale_bench scopes its snap
+        outside _run_reps for the same reason)."""
         best = None
         for _ in range(repeats):
             cache_rollback(snap)
@@ -250,7 +261,23 @@ def main() -> None:
         return best
 
     def _measure_with_canary(spark, name: str, repeats: int, deadline: float):
-        best = _measure(spark, name, repeats, deadline)
+        # dep warm-up / owner cache clearing / staged-input warm happen ONCE,
+        # before the single snapshot both runs (first + contended rerun) share
+        dep = WARM_DEPS.get(name)
+        if dep is not None and dep in by_name:
+            try:
+                by_name[dep].build(spark, sf_dir).count()
+            except Exception:  # noqa: BLE001 - dep warm-up is best-effort
+                pass
+        # a cache OWNER measured after another query's warm-up built its model
+        # must start cold or its cell silently excludes the fit (benchutil)
+        clear_owned_caches(name)
+        try:
+            warm_staged_inputs(spark, sf_dir, name)
+        except Exception:  # noqa: BLE001 - staged-input warm is best-effort
+            pass
+        snap = cache_snapshot()
+        best = _measure(spark, name, repeats, deadline, snap)
         canary = _quick_canary(spark)
         calib_floor[0] = min(calib_floor[0], canary)
         retried = False
@@ -264,7 +291,7 @@ def main() -> None:
                 calib_floor[0] = min(calib_floor[0], canary)
                 if canary <= 1.3 * calib_floor[0]:
                     break
-            rerun = _measure(spark, name, repeats, deadline)
+            rerun = _measure(spark, name, repeats, deadline, snap)
             if rerun is not None:
                 best = rerun if best is None else min(best, rerun)
             canary = _quick_canary(spark)
@@ -378,7 +405,12 @@ def main() -> None:
         "phase_timings": phase_timings,
         "errors": errors,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # a BENCH_ONLY smoke run must not clobber the committed full-run artifact
+    detail_path = (
+        "/tmp/BENCH_DETAIL.smoke.json"
+        if only
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    )
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

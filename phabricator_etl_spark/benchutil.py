@@ -33,6 +33,44 @@ WARM_DEPS: dict[str, str] = {
     "ann_ivf_kmeans": "kmeans_cells",
 }
 
+# Queries that OWN a session model cache: their registry number is
+# fit-included BY DEFINITION (kmeans_cells' cell is the Lloyd fit other
+# rows layer on). A harness measuring an owner in a JVM where another
+# query's WARM_DEPS warm-up already built the model must clear the owned
+# cache first — the later snapshot otherwise treats the warm model as
+# pre-existing, rollback never evicts it, and min-of-N records
+# apply-with-warm-model under a label that promises the fit (r9 advisor
+# finding; scale_bench's fit_included clearing, generalized).
+CACHE_OWNERS: dict[str, str] = {"kmeans_cells": "kmeans-fit"}
+
+# Queries whose plan consumes the staged shingle-postings index
+# (dedup._POSTINGS_CACHE — a documented staged artifact that every consumer
+# shares; like WARM_DEPS, except the builder is an internal stage, not a
+# registry query). Harnesses warm it UNTIMED before measuring a consumer so
+# the cell never flips between pays-the-build and cache-hit depending on
+# which consumer happens to run first in a shared/batched JVM.
+POSTINGS_CONSUMERS = frozenset(
+    {"dedup_ngram_jaccard", "dedup_containment", "corpus_novelty_rate"}
+)
+
+
+def clear_owned_caches(name: str) -> None:
+    """Drop every session model cache the named query OWNS (no-op for
+    non-owners). Run before snapshotting so the owner's reps re-pay the fit."""
+    if name in CACHE_OWNERS:
+        from .operators import clustering
+
+        clustering._FIT_CACHE.clear()
+
+
+def warm_staged_inputs(spark, sf_dir: str, name: str) -> None:
+    """Build (untimed) the staged artifacts the named query consumes but does
+    not own, so its timed reps always start from the documented layering."""
+    if name in POSTINGS_CONSUMERS:
+        from .operators.dedup import _shingle_postings
+
+        _shingle_postings(spark, sf_dir)
+
 
 def model_caches() -> list[dict]:
     from .operators import clustering, dedup

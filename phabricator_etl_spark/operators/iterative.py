@@ -30,6 +30,15 @@ from ..sources.catalog import load_table as _t
 # the distinction VERDICT r7 #1 could not make from the artifact alone.
 ROUNDS: dict[str, int] = {}
 
+# Per-stage wall times (seconds) of the LAST kcore_subgraph run in this
+# process. The r8 scale artifact proved rounds constant but could not say
+# WHICH stage grew on the over-linear sf10->sf30 step (VERDICT r8 #2) —
+# this decomposition makes the growth attributable per materialization
+# barrier: edge checkpoint+count, initial degree aggregation, then per
+# round the peel-set count and the decremental degree update. Written by
+# kcore_subgraph, read by tools/scale_bench.py into SCALE_BENCH.json.
+STAGE_TIMES: dict[str, float] = {}
+
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame, *, max_iterations: int = 50) -> DataFrame:
     """Hop distance from a seed set over DIRECTED edges (src -> dst).
@@ -511,6 +520,16 @@ _KCORE_MAX_ROUNDS = 64
 # round-1 peel (9.9M) so the measured scale curve runs one code path at
 # every SF.
 _KCORE_BROADCAST_BAD_ROWS = 16_000_000
+
+
+def _kcore_broadcast_cap() -> int:
+    """Peel-set row cap for the broadcast semi-join arm; above it the round
+    uses shuffle_hash. Env-overridable (SPARK_GRAFT_KCORE_BCAST_CAP) so the
+    two arms can be A/B-measured at any SF without a code edit — VERDICT r8
+    #2a asked exactly that of the sf30 9.9M-row round-1 broadcast."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_KCORE_BCAST_CAP", _KCORE_BROADCAST_BAD_ROWS))
 # Target endpoint rows per task for the initial degree aggregation. The
 # union's node keys are NEARLY UNIQUE within the edge checkpoint's
 # hash-on-(a,b) partitions, so map-side partial aggregation compresses
@@ -556,13 +575,21 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
     footprint is one edge checkpoint + two degree generations, and the only
     edge-sized shuffle in the whole peel is the initial aggregation.
     """
+    import time as _time
+
+    STAGE_TIMES.clear()
+    _t0 = _time.perf_counter()
     e_chain, deg_chain, bad_chain = CheckpointChain(), CheckpointChain(), CheckpointChain()
     e_base = e_chain.step(edges.select("a", "b"))
     n_edges = e_base.count()
+    STAGE_TIMES["edges_checkpoint"] = round(_time.perf_counter() - _t0, 3)
+    STAGE_TIMES["n_edges"] = n_edges
     agg_parts = max(
         e_base.rdd.getNumPartitions(),
         int(2 * n_edges // _KCORE_AGG_PART_ROWS) + 1,
     )
+    STAGE_TIMES["agg_parts"] = agg_parts
+    _t0 = _time.perf_counter()
     deg = deg_chain.step(
         e_base.select(F.col("a").alias("node"))
         .union(e_base.select(F.col("b").alias("node")))
@@ -573,10 +600,14 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    STAGE_TIMES["initial_degree"] = round(_time.perf_counter() - _t0, 3)
     for rnd in range(_KCORE_MAX_ROUNDS):
         ROUNDS["kcore"] = rnd + 1
+        _t0 = _time.perf_counter()
         bad = bad_chain.step(deg.filter(F.col("deg") < k).select("node"))
         n_bad = bad.count()
+        STAGE_TIMES[f"round{rnd + 1}_peel_set"] = round(_time.perf_counter() - _t0, 3)
+        STAGE_TIMES[f"round{rnd + 1}_n_bad"] = n_bad
         if n_bad == 0:
             # deg (the return plan) is its own checkpoint, so EVERY loop
             # relation — the edge checkpoint included — is loop-internal
@@ -590,7 +621,8 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
                 F.col("node").cast("long"),
                 F.col("deg").cast("long").alias("core_degree"),
             )
-        bcast = n_bad <= _KCORE_BROADCAST_BAD_ROWS
+        bcast = n_bad <= _kcore_broadcast_cap()
+        STAGE_TIMES[f"round{rnd + 1}_bcast"] = int(bcast)
 
         def _lost(side: str, other: str) -> DataFrame:
             # edges whose `side` endpoint died this round cost their
@@ -615,6 +647,7 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
             .unionByName(_lost("b", "a"))
             .select("node", F.lit(-1).cast("long").alias("val"), F.lit(0).alias("base"))
         )
+        _t0 = _time.perf_counter()
         deg = deg_chain.step(
             survivors.unionByName(losses)
             .repartition(agg_parts, "node")
@@ -622,6 +655,9 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
             .agg(F.sum("val").alias("deg"), F.max("base").alias("has_base"))
             .filter(F.col("has_base") == 1)
             .select("node", "deg")
+        )
+        STAGE_TIMES[f"round{rnd + 1}_degree_update"] = round(
+            _time.perf_counter() - _t0, 3
         )
     raise RuntimeError("k-core peeling did not converge")  # pragma: no cover
 

@@ -50,10 +50,19 @@ def evict_stale(cache: dict, spark: SparkSession) -> str:
 
 
 def _mem_to_mb(mem: str) -> int:
-    """Parse a JVM memory string ('8g', '512m', '48G') to MiB."""
+    """Parse a JVM memory string ('8g', '512m', '48G') to MiB.
+
+    A unit-less string is rejected rather than guessed: the JVM reads bare
+    numbers as BYTES while a "default to GiB" here would overestimate 8192×
+    and defeat the -Xms clamp (r9 advisor) — force the caller to say what
+    they mean."""
     unit = mem[-1].lower()
-    val = float(mem[:-1]) if unit in "gmk" else float(mem)
-    return int(val * {"g": 1024, "m": 1, "k": 1 / 1024}.get(unit, 1024))
+    if unit not in "gmk":
+        raise ValueError(
+            f"memory string {mem!r} needs an explicit unit suffix (g/m/k); "
+            "bare numbers are ambiguous (the JVM would read bytes)"
+        )
+    return int(float(mem[:-1]) * {"g": 1024, "m": 1, "k": 1 / 1024}[unit])
 
 
 def _initial_heap(mem: str) -> str:
@@ -72,7 +81,10 @@ def _initial_heap(mem: str) -> str:
             avail_kb = next(
                 int(line.split()[1]) for line in f if line.startswith("MemAvailable:")
             )
-        return f"{min(mem_mb, int(avail_kb // 1024 * 0.6))}m"
+        # floor at 256 MiB: on a nearly-exhausted host the 60% clamp can
+        # reach 0m / sub-minimum values the JVM rejects at startup —
+        # exactly the constrained hosts the clamp exists for (r9 advisor)
+        return f"{min(mem_mb, max(256, int(avail_kb // 1024 * 0.6)))}m"
     except (OSError, StopIteration, ValueError):
         return mem  # no /proc (non-Linux): keep the old equal-to-Xmx behavior
 

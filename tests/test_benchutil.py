@@ -46,13 +46,75 @@ def test_warm_deps_name_real_registry_queries():
 
 
 def test_initial_heap_clamps_to_available_ram():
+    import os
+
+    import pytest
+
     from phabricator_etl_spark.session import _initial_heap, _mem_to_mb
 
     assert _mem_to_mb("8g") == 8192
     assert _mem_to_mb("512m") == 512
     small = _initial_heap("1g")
     assert _mem_to_mb(small) <= 1024  # never above the configured cap
+    if not os.path.exists("/proc/meminfo"):
+        # documented non-Linux fallback returns the request unchanged —
+        # the clamp assertions below only hold where MemAvailable exists
+        pytest.skip("no /proc/meminfo: clamp falls back to the request")
     # a heap far beyond this host's RAM must clamp below the request
     # (keeps -Xms startable where -Xms == -Xmx would OOM at JVM start)
     huge = _initial_heap("100000g")
     assert _mem_to_mb(huge) < _mem_to_mb("100000g")
+    # ...but never below the 256 MiB JVM-startable floor, even when the
+    # host reports almost no MemAvailable (r9 advisor: '0m' fails startup)
+    assert _mem_to_mb(_initial_heap("100000g")) >= 256
+
+
+def test_mem_to_mb_rejects_unitless_strings():
+    import pytest
+
+    from phabricator_etl_spark.session import _mem_to_mb
+
+    # bare numbers mean BYTES to the JVM; guessing GiB here would
+    # overestimate 8192x and defeat the -Xms clamp (r9 advisor)
+    with pytest.raises(ValueError, match="unit suffix"):
+        _mem_to_mb("8192")
+
+
+def test_initial_heap_floor_on_exhausted_host(monkeypatch, tmp_path):
+    """With MemAvailable near zero the clamp must still emit a startable -Xms."""
+    import builtins
+
+    from phabricator_etl_spark import session as sess
+
+    meminfo = tmp_path / "meminfo"
+    meminfo.write_text("MemTotal: 1024 kB\nMemAvailable: 1024 kB\n")
+    real_open = builtins.open
+
+    def fake_open(path, *a, **kw):
+        if path == "/proc/meminfo":
+            return real_open(meminfo, *a, **kw)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    assert sess._mem_to_mb(sess._initial_heap("8g")) == 256
+
+
+def test_cache_owner_and_staged_input_declarations():
+    """The harness discipline tables must stay consistent with the operators:
+    every CACHE_OWNERS key is a registry query, every WARM_DEPS value is an
+    owner, and every POSTINGS_CONSUMERS name is a registry query."""
+    import __spark_entry__ as entry
+
+    from phabricator_etl_spark.benchutil import (
+        CACHE_OWNERS,
+        POSTINGS_CONSUMERS,
+        WARM_DEPS,
+    )
+
+    names = set(entry.queries())
+    assert set(CACHE_OWNERS) <= names
+    assert set(WARM_DEPS.values()) <= set(CACHE_OWNERS), (
+        "a WARM_DEPS warm-up can pre-build a model; its builder must be "
+        "declared an owner so harnesses clear it before measuring the owner"
+    )
+    assert POSTINGS_CONSUMERS <= names
