@@ -336,9 +336,15 @@ def main() -> None:
     # whole run. Tagged fresh-batch-jvm-min-of-N so round-over-round
     # comparisons never pair these with single-shot or fresh-session cells.
     tail_budget = float(os.environ.get("SPARK_GRAFT_TAIL_BUDGET", "900"))
+    # CHEAPEST-first (r8 verdict #4: the r8 tail ran expensive-first and its
+    # budget died after 20 of 208 cells — descending order spends the whole
+    # budget on the handful of multi-second entries, stranding the ~150
+    # sub-second ones that each cost ~1 s to migrate; ascending maximizes
+    # cells-migrated-per-budget-second, and the most expensive entries are
+    # already covered by the top-40 fresh-session refine above).
     tail = [
         n
-        for n in sorted(timings, key=lambda k: timings[k], reverse=True)
+        for n in sorted(timings, key=lambda k: timings[k])
         if methodology[n] == "shared-jvm-single-shot"
     ]
     TAIL_BATCH = 40
@@ -360,17 +366,70 @@ def main() -> None:
                 spark = _fresh_session("phab_batch")
                 in_batch = 0
             in_batch += 1
-            best, canary, retried = _measure_with_canary(spark, name, 3, tail_deadline)
+            # sub-second entries get min-of-2: their rep variance is far
+            # below the shared-jvm drift the tail exists to remove, and the
+            # third rep's budget migrates another stranded cell instead
+            reps = 2 if first_pass[name] < 1.0 else 3
+            best, canary, retried = _measure_with_canary(
+                spark, name, reps, tail_deadline
+            )
             if best is None:
                 continue
             refine_canary[name] = round(canary, 3)
             timings[name] = round(best, 3)
-            methodology[name] = "fresh-batch-jvm-min-of-3" + (
+            methodology[name] = f"fresh-batch-jvm-min-of-{reps}" + (
                 "+contended-retry" if retried else ""
             )
         except Exception as e:  # noqa: BLE001 - keep the first-pass number
             print(f"# tail {name} failed, keeping first pass: {e}", file=sys.stderr)
         if in_batch % 10 == 0:
+            gc.collect()
+
+    # ---- settle pass (r8 verdict #5): end-of-run re-measure of hot cells --
+    # Cells whose recorded per-cell canary sat >1.5x the floor were measured
+    # during host contention and carry known-inflated numbers even after the
+    # in-flight contended-retry (r7/r8 shipped several). The host is often
+    # calm by END of the run (r8: end calibration 1.7x better than start),
+    # so spend a bounded budget re-measuring the still-hot cells worst-first
+    # in a fresh session and keep the min.
+    settle_budget = float(os.environ.get("SPARK_GRAFT_SETTLE_BUDGET", "300"))
+    hot = sorted(
+        (
+            n
+            for n, c in refine_canary.items()
+            if c > 1.5 * calib_floor[0] and n in timings
+        ),
+        key=lambda n: refine_canary[n],
+        reverse=True,
+    )
+    if hot:
+        settle_deadline = time.perf_counter() + settle_budget
+        settle_spark = None
+        for name in hot:
+            if time.perf_counter() > settle_deadline:
+                print(f"# settle budget exhausted before {name}", file=sys.stderr)
+                break
+            try:
+                if settle_spark is None:
+                    settle_spark = spark = _fresh_session("phab_batch")
+                reps = 2 if timings[name] > 10.0 else 3
+                best, canary, retried = _measure_with_canary(
+                    settle_spark, name, reps, settle_deadline
+                )
+                if best is None:
+                    continue
+                if best < timings[name]:
+                    timings[name] = round(best, 3)
+                    methodology[name] = f"settle-pass-min-of-{reps}" + (
+                        "+contended-retry" if retried else ""
+                    )
+                refine_canary[name] = round(canary, 3)
+                print(
+                    f"# settle {name}: -> {timings[name]:.3f}s (canary {canary:.2f}s)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001 - keep the prior number
+                print(f"# settle {name} failed: {e}", file=sys.stderr)
             gc.collect()
     total = sum(timings.values())
     # end-of-run calibration in whatever session state the refine left

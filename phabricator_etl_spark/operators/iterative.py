@@ -518,7 +518,10 @@ _KCORE_MAX_ROUNDS = 64
 # graph) pays the edge shuffle that round instead of shipping a giant
 # driver-side build. The cap is set ABOVE the bipartite fixture's sf30
 # round-1 peel (9.9M) so the measured scale curve runs one code path at
-# every SF.
+# every SF. A/B'd at sf30 via SPARK_GRAFT_KCORE_BCAST_CAP (r8 brief #2a):
+# broadcast arm 39 s vs shuffle_hash arm 92 s for the round-1 update —
+# the generous cap is the measured-right arm (SCALE_BENCH.json
+# ratio_notes.graph_kcore_bipartite records the comparison).
 _KCORE_BROADCAST_BAD_ROWS = 16_000_000
 
 
@@ -540,9 +543,12 @@ def _kcore_broadcast_cap() -> int:
 # task's hash |V|/parts-sized and loses only a useless combine; this cap
 # sizes that shuffle's partition count to the data (same layout-to-graph
 # sizing as bfs_distances). Re-checkpointing the edges at a higher
-# partition count instead was tried and rejected: the chain holds two
-# generations, and two 10 GB edge copies re-triggered the storage thrash
-# (measured 602 s at sf30, vs 274 s before and ~150 s with this fix).
+# partition count instead was tried and rejected during the r8 rework: the
+# chain holds two generations, and two ~10 GB edge copies re-triggered the
+# storage thrash (a 602 s sf30 run vs 274 s without the re-checkpoint; both
+# were exploratory probes predating the committed artifact — the numbers of
+# record for this operator are SCALE_BENCH.json queries/stage_times, and
+# the stage-level linearity discussion lives in its ratio_notes entry).
 _KCORE_AGG_PART_ROWS = 3_000_000
 
 
@@ -552,12 +558,15 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
     Each round drops every vertex whose CURRENT degree is < k; the fixpoint
     is the k-core. Returns (node, core_degree) for the surviving vertices.
 
-    DECREMENTAL-DEGREE formulation (r8): the edge set is checkpointed ONCE
-    (immutable) and the full degree aggregation runs ONCE; each round then
+    DECREMENTAL-DEGREE formulation (r8; loss pass single-scanned in r9): the
+    edge set is checkpointed ONCE (immutable) and the full degree
+    aggregation runs ONCE; each round then
     (1) splits off the sub-k vertices as the round's `bad` set, and
     (2) subtracts the dead endpoints' edge contributions from the surviving
-    degree table via two broadcast semi-joins against `bad` — a map-side
-    filter over the cached edge blocks, shuffling only the (small) delta.
+    degree table in ONE pass over the cached edge blocks — both endpoints
+    probe the same broadcast `bad` hash relation (exchange reuse: one
+    build), alive-alive edges are filtered before the loss generator —
+    shuffling only the (small) delta.
     Correctness of the decrement: an edge is subtracted from an endpoint
     exactly when its OTHER endpoint dies, and a dead vertex's row has
     already left the degree table, so an edge whose endpoints die in the
@@ -591,8 +600,11 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
     STAGE_TIMES["agg_parts"] = agg_parts
     _t0 = _time.perf_counter()
     deg = deg_chain.step(
-        e_base.select(F.col("a").alias("node"))
-        .union(e_base.select(F.col("b").alias("node")))
+        # explode(array(a,b)) emits both endpoints in ONE scan of the edge
+        # checkpoint; the union-of-two-projections form read the 2x|E| blocks
+        # TWICE (two ScanExistingRDD branches — r9 stage decomposition:
+        # the double read was part of this stage's 4.87x on a 3.0x step)
+        e_base.select(F.explode(F.array("a", "b")).alias("node"))
         # node-clustered shuffle BEFORE the agg: bounds each task's agg
         # hash at |V|/agg_parts entries (see _KCORE_AGG_PART_ROWS); the
         # groupBy reuses this partitioning, so it adds no extra exchange
@@ -624,14 +636,54 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
         bcast = n_bad <= _kcore_broadcast_cap()
         STAGE_TIMES[f"round{rnd + 1}_bcast"] = int(bcast)
 
-        def _lost(side: str, other: str) -> DataFrame:
-            # edges whose `side` endpoint died this round cost their
-            # `other` endpoint one degree
-            b_side = bad.withColumnRenamed("node", side)
-            b_side = F.broadcast(b_side) if bcast else b_side.hint("shuffle_hash")
-            return e_base.join(b_side, side, "left_semi").select(
-                F.col(other).alias("node")
+        if bcast:
+            # ONE pass over the edge checkpoint, ONE broadcast build: both
+            # endpoints probe the SAME broadcast `bad` relation (identical
+            # exchange subtrees -> Catalyst's ReuseExchange builds the hash
+            # relation once), alive-alive edges are dropped BEFORE the
+            # explode so the generator touches only dying edges. The prior
+            # form ran two independent semi-joins: two broadcast builds of
+            # the same peel set and two full edge scans — at sf30 round 1
+            # (9.9M-row peel, 180M edges) the b-side semi-join cost ~19 s
+            # to produce 0 rows (r9 stage decomposition), and the pair was
+            # the bulk of the 9.8x-on-3.0x update-stage ratio.
+            a_dead = F.col("ba.node").isNotNull()
+            b_dead = F.col("bb.node").isNotNull()
+            losses_nodes = (
+                e_base.alias("e")
+                .join(
+                    F.broadcast(bad.alias("ba")),
+                    F.col("e.a") == F.col("ba.node"),
+                    "left",
+                )
+                .join(
+                    F.broadcast(bad.alias("bb")),
+                    F.col("e.b") == F.col("bb.node"),
+                    "left",
+                )
+                .filter(a_dead | b_dead)
+                # an edge decrements its OTHER endpoint once per dead side
+                .select(
+                    F.explode(
+                        F.array(
+                            F.when(a_dead, F.col("e.b")),
+                            F.when(b_dead, F.col("e.a")),
+                        )
+                    ).alias("node")
+                )
+                .filter(F.col("node").isNotNull())
             )
+        else:
+
+            def _lost(side: str, other: str) -> DataFrame:
+                # edges whose `side` endpoint died this round cost their
+                # `other` endpoint one degree
+                b_side = bad.withColumnRenamed("node", side).hint("shuffle_hash")
+                return e_base.join(b_side, side, "left_semi").select(
+                    F.col(other).alias("node")
+                )
+
+            losses_nodes = _lost("a", "b").unionByName(_lost("b", "a"))
 
         # One hash aggregation replaces agg-then-left-join: survivors carry
         # (deg, base=1), each lost edge endpoint carries (-1, base=0), and
@@ -642,10 +694,8 @@ def kcore_subgraph(edges: DataFrame, k: int) -> DataFrame:
         survivors = deg.filter(F.col("deg") >= k).select(
             "node", F.col("deg").alias("val"), F.lit(1).alias("base")
         )
-        losses = (
-            _lost("a", "b")
-            .unionByName(_lost("b", "a"))
-            .select("node", F.lit(-1).cast("long").alias("val"), F.lit(0).alias("base"))
+        losses = losses_nodes.select(
+            "node", F.lit(-1).cast("long").alias("val"), F.lit(0).alias("base")
         )
         _t0 = _time.perf_counter()
         deg = deg_chain.step(

@@ -120,10 +120,24 @@ def get_spark(app_name: str = "phabricator-etl-spark", *, shuffle_partitions: in
             f"-Xms{_initial_heap(mem)} -XX:+AlwaysPreTouch",
         )
         .config("spark.ui.enabled", "false")
+        # Shuffle/spill scratch directory override (measurement harnesses).
+        # This single host's disk-backed shuffle path is measurably
+        # SUPER-linear in exactly the volume range of the top scale-bench
+        # SF, and nondeterministically so (r9 calibration: a pure 3x-volume
+        # synthetic shuffle cost 3.3-6.7x across runs on disk, depending on
+        # dirty-page state, vs a stable ~1.9x on tmpfs) — a cluster's
+        # per-node NVMe at per-node volumes does not share that cliff.
+        # Default stays the platform default; set SPARK_GRAFT_LOCAL_DIR to
+        # A/B. Per-JVM like the -Xms note above: only the first SparkContext
+        # honors it. (Applied conditionally below — an empty spark.local.dir
+        # would override the platform default with an invalid path.)
         # The console progress bar writes \r-fragments to stderr with no
         # trailing newline; under a merged-stream harness those glue onto
         # the next stdout line and corrupt machine-readable output (this
         # cost us the round-1 bench line).
         .config("spark.ui.showConsoleProgress", "false")
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
