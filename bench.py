@@ -281,7 +281,13 @@ def main() -> None:
         canary = _quick_canary(spark)
         calib_floor[0] = min(calib_floor[0], canary)
         retried = False
-        if canary > 1.6 * calib_floor[0] and time.perf_counter() < deadline:
+        # ratio AND absolute margin: the floor ratchets DOWN over the run
+        # (min-ever-seen), so a pure 1.6x gate eventually fires on ~50 ms
+        # canary noise — each firing costs a 45 s settle loop, which is how
+        # the r9 tail burned its whole budget on phantom contention after
+        # the floor hit 0.057 s. Real bursts read >= floor + ~100 ms.
+        contended = canary > max(1.6 * calib_floor[0], calib_floor[0] + 0.1)
+        if contended and time.perf_counter() < deadline:
             # measured during a load burst: wait it out (bounded), then
             # re-measure; keep the min across both attempts
             settle_t0 = time.perf_counter()
@@ -289,7 +295,7 @@ def main() -> None:
                 time.sleep(5)
                 canary = _quick_canary(spark)
                 calib_floor[0] = min(calib_floor[0], canary)
-                if canary <= 1.3 * calib_floor[0]:
+                if canary <= max(1.3 * calib_floor[0], calib_floor[0] + 0.05):
                     break
             rerun = _measure(spark, name, repeats, deadline, snap)
             if rerun is not None:
@@ -397,7 +403,7 @@ def main() -> None:
         (
             n
             for n, c in refine_canary.items()
-            if c > 1.5 * calib_floor[0] and n in timings
+            if c > max(1.5 * calib_floor[0], calib_floor[0] + 0.1) and n in timings
         ),
         key=lambda n: refine_canary[n],
         reverse=True,
