@@ -219,6 +219,7 @@ def main() -> None:
     # later burst. One-element list so the closures below can update it.
     calib_floor = [calibration["start"]["calib_cpu_scan"]]
     refine_canary: dict[str, float] = {}
+    canary_pre: dict[str, float] = {}
 
     from phabricator_etl_spark.benchutil import (
         WARM_DEPS,
@@ -261,6 +262,15 @@ def main() -> None:
         return best
 
     def _measure_with_canary(spark, name: str, repeats: int, deadline: float):
+        # PRE-measurement canary: a hot post-canary alone cannot distinguish
+        # "the host was busy during the window" from "the query's own
+        # execution left GC/block-storage debt" (the etl_e2e_* cells always
+        # read post-hot for the second reason). clean-pre + hot-post = self
+        # wear; hot-pre = ambient contention. Both are recorded in
+        # BENCH_DETAIL (refine_canary_pre / refine_canary).
+        pre = _quick_canary(spark)
+        calib_floor[0] = min(calib_floor[0], pre)
+        canary_pre[name] = round(pre, 3)
         # dep warm-up / owner cache clearing / staged-input warm happen ONCE,
         # before the single snapshot both runs (first + contended rerun) share
         dep = WARM_DEPS.get(name)
@@ -465,6 +475,7 @@ def main() -> None:
         "methodology": methodology,
         "calibration": calibration,
         "refine_canary": refine_canary,
+        "refine_canary_pre": canary_pre,
         # the uncontended-floor the per-cell canaries were judged against
         "canary_floor": round(calib_floor[0], 3),
         "phase_timings": phase_timings,
