@@ -22,8 +22,6 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from ..sources.phab_fixtures import PhabSources
 from . import phab_pipelines as P
 
@@ -113,16 +111,31 @@ def expand_by_stack_component(
 
 
 def dedup_latest(df: DataFrame, key: str, recency: str | None) -> DataFrame:
-    """W2: one winner per merge key. With a recency column the latest wins;
-    without one the reference picks arbitrarily (ORDER BY (SELECT NULL),
-    stats.py:918) — we order by the full remaining tuple for determinism
-    (SURVEY §7.8)."""
+    """W2: one winner per merge key. With a recency column the latest wins
+    (max recency; ties broken by the full remaining tuple — strictly more
+    deterministic than the reference's ORDER BY (SELECT NULL),
+    stats.py:918); without one the full remaining tuple decides
+    (SURVEY §7.8).
+
+    Implemented as a struct-max_by aggregation rather than the
+    ROW_NUMBER-over-window form (r10 optimization, guide §2.3): the
+    aggregate does PARTIAL (map-side) combination, so duplicate keys
+    collapse before the exchange, and max_by (a TypedImperativeAggregate)
+    plans as ObjectHashAggregate — no Sort on either side of the exchange,
+    where the window form paid Exchange+Sort+Window and a plain max(struct)
+    would fall back to SortAggregate. Struct comparison orders
+    field-by-field (recency first), with NULL low — identical winner choice
+    to the desc-NULLS-LAST window wherever recency differs, and a
+    deterministic full-tuple tiebreak where it doesn't."""
+    rest = [c for c in df.columns if c != key]
     if recency:
-        order = [F.desc(recency), F.desc(key)]
+        ordered = [recency] + [c for c in rest if c != recency]
     else:
-        order = [F.desc(key)] + [F.desc(c) for c in df.columns if c != key]
-    w = Window.partitionBy(key).orderBy(*order)
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        ordered = rest
+    win = df.groupBy(key).agg(
+        F.max_by(F.struct(*ordered), F.struct(*ordered)).alias("__w")
+    )
+    return win.select(key, *[F.col(f"__w.{c}").alias(c) for c in ordered]).select(*df.columns)
 
 
 def merge_upsert(target: DataFrame | None, staging: DataFrame, key: str) -> DataFrame:
@@ -210,35 +223,46 @@ def run_incremental(
         key, recency = MERGE_KEYS[name]
         staging = dedup_latest(df, key, recency)
         path = os.path.join(dest_dir, name)
-        if name in SNAPSHOT_TABLES:
-            merged = staging  # full overwrite every run
-        else:
-            if _dest_exists(spark, path):
-                # the stored revisions table carries its ym partition column;
-                # strip it so target and staging schemas line up for the merge
-                try:
-                    target = spark.read.parquet(path).drop("ym")
-                except Exception:
-                    # the path exists but holds no readable parquet (e.g. a
-                    # killed previous run left an empty/partial dir): treat
-                    # as first run rather than failing the whole batch. The
-                    # failed read does leave one ExecutionListenerBus log
-                    # line (the Spark 4 ObservationManager gotcha) — fine
-                    # for this corruption-recovery arm, which the happy path
-                    # never enters thanks to the FS-API probe above.
-                    target = None
-            else:
+        target = None
+        if name not in SNAPSHOT_TABLES and _dest_exists(spark, path):
+            # the stored revisions table carries its ym partition column;
+            # strip it so target and staging schemas line up for the merge
+            try:
+                target = spark.read.parquet(path).drop("ym")
+            except Exception:
+                # the path exists but holds no readable parquet (e.g. a
+                # killed previous run left an empty/partial dir): treat
+                # as first run rather than failing the whole batch. The
+                # failed read does leave one ExecutionListenerBus log
+                # line (the Spark 4 ObservationManager gotcha) — fine
+                # for this corruption-recovery arm, which the happy path
+                # never enters thanks to the FS-API probe above.
                 target = None
-            merged = merge_upsert(target, staging, key)
-        # materialize before overwriting the path we may have just read
-        merged = merged.localCheckpoint(eager=True)
-        writer = merged.write.mode("overwrite")
+        merged = staging if target is None else merge_upsert(target, staging, key)
         if name == "revisions":
             merged = merged.withColumn(
                 "ym", F.date_format(F.timestamp_seconds("date_modified"), "yyyy-MM")
             )
-            writer = merged.write.mode("overwrite").partitionBy("ym")
-        writer.parquet(path)
+        # r10 optimization (guide §2.4/§5): the old path localCheckpointed
+        # `merged` before every write — a full extra materialization of every
+        # table on every run — because the merge plan may READ the very path
+        # it overwrites. Instead, write straight to the destination when
+        # nothing reads it (first run / snapshot overwrite), and otherwise
+        # write to a sibling tmp dir while the old files stay readable, then
+        # swap. One materialization either way, and the swap is MORE
+        # crash-safe than checkpoint+overwrite (the old table stays complete
+        # until the new one is fully written).
+        write_path = path if target is None else path + "__stage"
+        writer = merged.write.mode("overwrite")
+        if name == "revisions":
+            writer = writer.partitionBy("ym")
+        writer.parquet(write_path)
+        if write_path != path:
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jvm_path(path), True)
+            if not fs.rename(jvm_path(write_path), jvm_path(path)):
+                raise IOError(f"rename {write_path} -> {path} failed")
         phases[f"branch_{name}"] = round(time.perf_counter() - t_branch, 3)
         return spark.read.parquet(path)
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions import phab
 from ..operators.graph import connected_components
@@ -346,20 +345,20 @@ def build_revisions(
         phab.latest_landed_date(F.col("creationMethod"), F.col("dateCreated")).alias("date_landed")
     )
 
-    # A3: date_approved = max dateModified over accepted reviews
+    # A3 + W1 fused into ONE reviewer pass (r10, guide §2.4: two operations
+    # keyed the same way share one exchange): date_approved = max dateModified
+    # over accepted reviews, and last_review_id = the id of the
+    # (dateModified, id)-max row — max_by with the unique id in the ordering
+    # struct picks exactly the W1 window's desc/desc top-1, deterministically,
+    # without the second exchange + sort + window + join the separate
+    # formulation paid.
     approved = (
         src.reviewer.groupBy("revisionPHID")
-        .agg(phab.latest_approved_date(F.col("reviewerStatus"), F.col("dateModified")).alias("date_approved"))
+        .agg(
+            phab.latest_approved_date(F.col("reviewerStatus"), F.col("dateModified")).alias("date_approved"),
+            F.max_by("id", F.struct("dateModified", "id")).alias("last_review_id"),
+        )
         .withColumnRenamed("revisionPHID", "rev_phid")
-    )
-
-    # W1: last_review_id = top-1 reviewer row by dateModified (desc), id desc
-    # tiebreak for determinism (the reference's .first() is order-free)
-    w = Window.partitionBy("revisionPHID").orderBy(F.desc("dateModified"), F.desc("id"))
-    last_review = (
-        src.reviewer.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("revisionPHID").alias("rev_phid"), F.col("id").alias("last_review_id"))
     )
 
     # J9: project tag slugs (type-41 edges); deterministic sorted order
@@ -380,7 +379,6 @@ def build_revisions(
         rev.join(F.broadcast(bug), rev.phid == bug.rev_phid, "left").drop("rev_phid")
         .join(landed, rev.id == landed.revisionID, "left").drop("revisionID")
         .join(approved, rev.phid == approved.rev_phid, "left").drop("rev_phid")
-        .join(last_review, rev.phid == last_review.rev_phid, "left").drop("rev_phid")
         .join(tags, rev.phid == tags.rev_phid, "left").drop("rev_phid")
         .join(stacks, rev.phid == stacks.rev_phid, "left").drop("rev_phid")
         .join(F.broadcast(repos.withColumnRenamed("phid", "repo_phid")),
