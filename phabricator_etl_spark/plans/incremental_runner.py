@@ -187,7 +187,7 @@ def run_incremental(
     # this is cheap to pin and is the staged-artifact shape a production
     # batch uses — invalidation computed once, consumed by every build.
     expanded = world
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_rev = pool.submit(lambda: expanded.revision.localCheckpoint(eager=True))
         # The user/project/repo dims are broadcast-small and shared by up
         # to five branches each — pin them too so concurrent branches

@@ -190,20 +190,24 @@ def build_transactions(src: PhabSources, users: DataFrame, projects: DataFrame) 
             F.when(phab.is_project_reviewer(F.col("phid")), F.col("p_name")).otherwise(F.col("u_name")),
         )
     )
-    name_lists = (
-        resolved.filter(F.col("name").isNotNull())
-        .groupBy("txn_id", "side")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "name"))), lambda x: x["name"]
-            ).alias("names")
+    # r10 (guide §2.4): ONE conditional aggregation replaces the former
+    # groupBy(txn_id, side) + pivot(side) pair — two exchanges collapsed
+    # into one. collect_list skips nulls, so the side split rides the WHEN
+    # inside the aggregate; output lists are identical (sorted by pos).
+    def _side_names(side: str) -> F.Column:
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("side") == side, F.struct("pos", "name"))
+                )
+            ),
+            lambda x: x["name"],
         )
-    )
+
     wide = (
-        name_lists.groupBy("txn_id")
-        .pivot("side", ["old", "new"])
-        .agg(F.first("names"))
-        .withColumnsRenamed({"old": "rv_old", "new": "rv_new"})
+        resolved.filter(F.col("name").isNotNull())
+        .groupBy("txn_id")
+        .agg(_side_names("old").alias("rv_old"), _side_names("new").alias("rv_new"))
     )
 
     txn = txn.join(wide, txn.id == wide.txn_id, "left").drop("txn_id")
@@ -470,16 +474,21 @@ def build_project_transactions(src: PhabSources, users: DataFrame, projects: Dat
         ).alias("sv"),
     ).select("txn_id", F.col("sv.side").alias("side"), F.explode_outer("sv.phids").alias("member_phid"))
     u = users.select(F.col("phid").alias("member_phid"), "username")
-    resolved = (
-        sides.join(F.broadcast(u), "member_phid", "left")
-        .groupBy("txn_id", "side")
-        .agg(F.array_sort(F.array_distinct(F.collect_list("username"))).alias("names"))
-    )
+
+    # r10 (guide §2.4): one conditional aggregation replaces the former
+    # groupBy(txn_id, side) + pivot(side) pair — two exchanges collapsed
+    # into one; collect_list skips the non-matching (null) side rows.
+    def _side_names(side: str) -> F.Column:
+        return F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("side") == side, F.col("username")))
+            )
+        )
+
     wide = (
-        resolved.groupBy("txn_id")
-        .pivot("side", ["old", "new"])
-        .agg(F.first("names"))
-        .withColumnsRenamed({"old": "edge_old", "new": "edge_new"})
+        sides.join(F.broadcast(u), "member_phid", "left")
+        .groupBy("txn_id")
+        .agg(_side_names("old").alias("edge_old"), _side_names("new").alias("edge_new"))
     )
     txn = txn.join(wide, txn.id == wide.txn_id, "left").drop("txn_id")
 
