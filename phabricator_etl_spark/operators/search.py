@@ -85,17 +85,24 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # (doc_id, term, tf) for query terms only + per-doc length. Filtering to
     # the query terms BEFORE the groupBy keeps the shuffle at posting-list
-    # size. The tokenized stream is localCheckpointed because it feeds TWO
-    # aggregations (doc length over all tokens, tf over query terms) — the
-    # explode+split otherwise re-runs per consumer (three document scans
-    # observed in the un-cached plan).
-    toks = d.select(
+    # size. r10 (guide §2.3/§2.4): document length is size(split(text)) — a
+    # narrow per-row projection — NOT an aggregation over the exploded token
+    # stream. The previous form localCheckpointed every token of every
+    # document (a corpus-token-sized materialization) and shuffled it whole
+    # for the dl groupBy; both disappear. Semantics are identical: split on
+    # non-null text always yields >= 1 element (so COUNT(*) over its explode
+    # == size), and null-text docs are excluded from dl exactly as explode
+    # emitted no rows for them.
+    dl = d.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("term"),
-    ).localCheckpoint(eager=True)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        F.size(F.split(F.col("text"), _TOKEN_RE)).cast("long").alias("dl"),
+    )
     tf = (
-        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("term"),
+        )
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -293,28 +300,44 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase occurrence counting via a positional inverted index.
 
     posexplode(tokens) -> (doc_id, pos, term); the 2-term phrase
-    (``PHRASE = ['table', 'value']``) is an equi-join of posting(PHRASE[0])
-    with posting(PHRASE[1]) on (doc_id, pos+1).
+    (``PHRASE = ['table', 'value']``) matches wherever posting(PHRASE[0])
+    holds a position p with p+1 in posting(PHRASE[1]) — evaluated as an
+    in-row intersection of the per-document posting-list arrays.
     Output: per-document occurrence count + first match position, for every
     document containing the phrase at least once.
     """
     d = _spread(_t(spark, sf_dir, "documents"))
+    # r10 (guide §2.3/§2.4): ONE tokenization pass and ONE posting-list-sized
+    # shuffle. The previous form filtered the un-materialized position stream
+    # twice (two full corpus scans+tokenizations, one per phrase term) and
+    # self-joined the posting lists (a second shuffle). Now the per-term
+    # posting lists are built per document in a single conditional
+    # aggregation (map-side partial combine) and intersected in-place with
+    # array functions: a position p matches when p+1 appears in the
+    # second-term list — exactly the join predicate, and positions are
+    # unique per doc so the counts are identical.
     pos = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.posexplode(F.split(F.col("text"), _TOKEN_RE)).alias("pos", "term"),
+    ).filter(F.col("term").isin(PHRASE))
+    lists = pos.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("term") == PHRASE[0], F.col("pos")))
+        ).alias("p0s"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("term") == PHRASE[1], F.col("pos")))
+        ).alias("p1s"),
     )
-    first = pos.filter(F.col("term") == PHRASE[0]).select("doc_id", F.col("pos").alias("p0"))
-    second = pos.filter(F.col("term") == PHRASE[1]).select("doc_id", F.col("pos").alias("p1"))
-    hits = first.join(
-        second,
-        (first["doc_id"] == second["doc_id"]) & (second["p1"] == first["p0"] + 1),
-    ).select(first["doc_id"].alias("doc_id"), F.col("p0"))
+    matches = F.filter(
+        F.col("p0s"), lambda p: F.array_contains(F.col("p1s"), p + F.lit(1))
+    )
     return (
-        hits.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.min("p0").cast("long").alias("first_pos"),
+        lists.select(
+            "doc_id",
+            F.size(matches).cast("long").alias("n_occurrences"),
+            F.element_at(matches, 1).cast("long").alias("first_pos"),
         )
+        .filter(F.col("n_occurrences") > 0)
         .orderBy("doc_id")
     )
 
@@ -351,7 +374,7 @@ SEARCH_QUERIES = [
         "search_phrase_positions",
         search_phrase_positions,
         _phrase_oracle(),
-        "exact-phrase match via positional inverted-index self-join",
+        "exact-phrase match via positional posting-list intersection",
     ),
     Q(
         "search_hybrid_rerank",

@@ -56,13 +56,12 @@ def _mem_to_mb(mem: str) -> int:
     numbers as BYTES while a "default to GiB" here would overestimate 8192×
     and defeat the -Xms clamp (r9 advisor) — force the caller to say what
     they mean."""
-    unit = mem[-1].lower()
-    if unit not in "gmk":
+    if not mem or mem[-1].lower() not in "gmk":
         raise ValueError(
             f"memory string {mem!r} needs an explicit unit suffix (g/m/k); "
             "bare numbers are ambiguous (the JVM would read bytes)"
         )
-    return int(float(mem[:-1]) * {"g": 1024, "m": 1, "k": 1 / 1024}[unit])
+    return int(float(mem[:-1]) * {"g": 1024, "m": 1, "k": 1 / 1024}[mem[-1].lower()])
 
 
 def _initial_heap(mem: str) -> str:

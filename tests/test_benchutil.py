@@ -78,6 +78,10 @@ def test_mem_to_mb_rejects_unitless_strings():
     # overestimate 8192x and defeat the -Xms clamp (r9 advisor)
     with pytest.raises(ValueError, match="unit suffix"):
         _mem_to_mb("8192")
+    # an empty string (SPARK_GRAFT_DRIVER_MEM set but blank) must get the
+    # same actionable message, not a bare IndexError (r9 advisor)
+    with pytest.raises(ValueError, match="unit suffix"):
+        _mem_to_mb("")
 
 
 def test_initial_heap_floor_on_exhausted_host(monkeypatch, tmp_path):

@@ -181,6 +181,33 @@ def test_kcore_adversarial_shapes(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def test_kcore_shuffle_hash_arm_matches_python_oracle(spark, monkeypatch):
+    """The broadcast and shuffle_hash arms of kcore_subgraph are structurally
+    different plans (one-pass outer-join + explode vs two semi-joins + union).
+    Every oracle test runs under the 16M-row broadcast cap, so the
+    shuffle_hash arm would otherwise go oracle-unchecked (r9 advisor): force
+    it by zeroing the cap and re-run the adversarial-shape and deep-peel
+    fixtures against the Python peeling oracle."""
+    from phabricator_etl_spark.operators.iterative import kcore_subgraph
+
+    monkeypatch.setenv("SPARK_GRAFT_KCORE_BCAST_CAP", "0")
+
+    # K4 + pendant chain + disjoint triangle: 3-core must be exactly the K4
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    edges = k4 + [(3, 10), (10, 11)] + [(20, 21), (20, 22), (21, 22)]
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["core_degree"] for r in kcore_subgraph(edf, 3).collect()}
+    assert got == _py_kcore(edges, 3) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # deep peel (one vertex per round): endpoints of every chain edge die in
+    # different rounds — the decrement-correctness shape, now on this arm
+    chain = [(i, i + 1) for i in range(10, 30)]
+    deep = [(0, 1), (1, 2), (0, 2), (2, 10)] + chain
+    ddf = spark.createDataFrame(deep, "a long, b long")
+    got_deep = {r["node"]: r["core_degree"] for r in kcore_subgraph(ddf, 2).collect()}
+    assert got_deep == _py_kcore(deep, 2) == {0: 2, 1: 2, 2: 2}
+
+
 def test_kcore_deep_peel_decrements_exactly(spark):
     """A long pendant chain peels ONE vertex per round — ~20 rounds of the
     decremental-degree formulation (r8: degrees aggregated once, then

@@ -37,15 +37,30 @@ INTERNAL_INDICATORS = ("corp.", ".internal", "intranet", "-virtual/simple")
 
 URL_RE = re.compile(r"https?://([A-Za-z0-9._-]+)")
 
-TEXT_SUFFIXES = {".py", ".md", ".log", ".toml", ".cfg", ".ini", ".yml", ".yaml",
-                 ".json", ".jsonl", ".txt", ".sh", ".sql"}
+# Inverted filter (r9 advisor): scan EVERY tracked file except known-binary
+# suffixes, so extensionless files (Makefile, Dockerfile, LICENSE, scripts)
+# cannot escape the permanent leak gate. Binary content is additionally
+# detected by a NUL probe below.
+BINARY_SUFFIXES = {".parquet", ".png", ".jpg", ".jpeg", ".gif", ".ico", ".zip",
+                   ".gz", ".whl", ".so", ".pyc", ".jar", ".db", ".bin", ".pdf"}
 
 
 def _tracked_text_files() -> list[Path]:
     out = subprocess.run(
         ["git", "ls-files"], cwd=REPO, capture_output=True, text=True, check=True
     ).stdout.splitlines()
-    return [REPO / f for f in out if Path(f).suffix in TEXT_SUFFIXES]
+    files = []
+    for f in out:
+        if Path(f).suffix.lower() in BINARY_SUFFIXES:
+            continue
+        p = REPO / f
+        try:
+            if b"\x00" in p.read_bytes()[:8192]:  # binary content regardless of name
+                continue
+        except OSError:
+            continue
+        files.append(p)
+    return files
 
 
 def _host_ok(host: str) -> bool:
