@@ -358,20 +358,53 @@ ORDER BY bin
 # Scale: unigram/bigram count tables are vocabulary-sized — broadcast; the
 # scoring pass is one explode + two broadcast joins + one doc_id
 # aggregation. Linear, no corpus self-join anywhere.
+#
+# Model build is ONE corpus pass (r10): a (w1, next-token-or-null) stream
+# aggregated by GROUPING SETS ((w1), (w1, w2)) yields unigram counts (every
+# token appears exactly once as w1, the doc-final token with a null w2),
+# bigram counts (the (w1, w2) set minus the null-w2 sentinel groups) and
+# |V| (group count of the (w1) set) from ONE scan+tokenize+aggregate —
+# replacing three separate corpus arms. The aggregate is materialized with
+# localCheckpoint because plan sharing cannot do it: Catalyst pushes each
+# consumer's gid/null filter through the aggregate onto the Expand output
+# (grouping keys are filter-pushable), specializing all three subtrees so
+# neither ReusedExchange nor AQE stage reuse ever fires (verified in the
+# r10 plan capture). The checkpointed relation is model-sized — the same
+# distinct-unigram + distinct-bigram rows the un-materialized plan
+# broadcast TWICE — not corpus-sized, and it stays stats-free so join
+# strategy against it remains AQE's runtime-size decision (the no-forced-
+# broadcast rule below).
 # ---------------------------------------------------------------------------
 
 
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = _tokens()
-    uni = (
-        d.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cw"))
+    # F.get is 0-based and null-on-out-of-bounds (ANSI-safe), so element i
+    # pairs with its successor and the doc-final token gets a null sentinel.
+    pair_stream = d.select(
+        F.explode(
+            F.transform(
+                toks,
+                lambda x, i: F.struct(x.alias("w1"), F.get(toks, i + 1).alias("w2")),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    model = (
+        pair_stream.groupingSets([["w1"], ["w1", "w2"]], "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+        .localCheckpoint(eager=True)
+    )
+    # gid bit set = column ABSENT from the grouping set: (w1) -> 1, (w1, w2) -> 0
+    uni = model.filter(F.col("gid") == 1).select(
+        F.col("w1").alias("w"), F.col("c").alias("cw")
     )
     # |V| for add-one smoothing as a broadcast 1-row scalar (one job, the
     # sanctioned pattern) instead of an eager driver .count()
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("vs"))
+    big_counts = model.filter((F.col("gid") == 0) & F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("cb")
+    )
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -381,12 +414,6 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    big_counts = (
-        d.select(F.explode(bigrams).alias("b"))
-        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
     doc_bi = d.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(bigrams).alias("b")
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))

@@ -277,7 +277,13 @@ def gen_embeddings(n: int, sf: float, skew: bool) -> pa.Table:
     )
 
 
-def generate(sf: float, out_dir: str, skew: bool = False, file_rows: int = 250_000) -> None:
+def generate(
+    sf: float,
+    out_dir: str,
+    skew: bool = False,
+    file_rows: int = 250_000,
+    tables: set[str] | None = None,
+) -> None:
     """file_rows: rows per output file. Tables larger than this are written
     as a DIRECTORY of part files (the shape 100 TB inputs actually have):
     multiple files = multiple scan tasks = multiple shuffle MAPPERS, which
@@ -294,7 +300,14 @@ def generate(sf: float, out_dir: str, skew: bool = False, file_rows: int = 250_0
     n_events = int(1_000_000 * sf)
     n_docs = int(50_000 * sf)
 
-    def write(name: str, tbl: pa.Table) -> None:
+    def write(name: str, tbl_fn) -> None:
+        # `tables` narrows generation to the named subset (per-table PCG64
+        # seeding makes each table's bytes independent of which others are
+        # generated, so a subset run is bit-identical to the full run);
+        # tbl_fn defers the numpy work so skipped tables cost nothing.
+        if tables is not None and name not in tables:
+            return
+        tbl = tbl_fn()
         n = tbl.num_rows
         dest = os.path.join(out_dir, f"{name}.parquet")
         rg = min(100_000, max(10_000, n // 8 or 1))
@@ -311,16 +324,16 @@ def generate(sf: float, out_dir: str, skew: bool = False, file_rows: int = 250_0
                 )
         print(f"  {name}: {n} rows")
 
-    write("region", gen_region())
-    write("nation", gen_nation())
-    write("customer", gen_customer(n_cust, sf, skew))
-    write("supplier", gen_supplier(n_supp, sf, skew))
-    write("part", gen_part(n_part, sf, skew))
-    write("orders", gen_orders(n_orders, n_cust, sf, skew))
-    write("lineitem", gen_lineitem(n_line, n_orders, n_part, n_supp, sf, skew))
-    write("events", gen_events(n_events, sf, skew))
-    write("documents", gen_documents(n_docs, sf, skew))
-    write("embeddings", gen_embeddings(n_docs, sf, skew))
+    write("region", gen_region)
+    write("nation", gen_nation)
+    write("customer", lambda: gen_customer(n_cust, sf, skew))
+    write("supplier", lambda: gen_supplier(n_supp, sf, skew))
+    write("part", lambda: gen_part(n_part, sf, skew))
+    write("orders", lambda: gen_orders(n_orders, n_cust, sf, skew))
+    write("lineitem", lambda: gen_lineitem(n_line, n_orders, n_part, n_supp, sf, skew))
+    write("events", lambda: gen_events(n_events, sf, skew))
+    write("documents", lambda: gen_documents(n_docs, sf, skew))
+    write("embeddings", lambda: gen_embeddings(n_docs, sf, skew))
 
 
 def duckdb_glob(sf_dir: str, table: str) -> str:
@@ -336,11 +349,23 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--file-rows", type=int, default=250_000)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to generate (bit-identical to the same "
+        "tables from a full run; per-table seeding)",
+    )
     a = ap.parse_args()
     tag = f"sf{a.sf:g}" + ("-skew" if a.skew else "")
     out = a.out or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scaledata", tag)
     print(f"generating {tag} -> {out}")
-    generate(a.sf, out, skew=a.skew, file_rows=a.file_rows)
+    generate(
+        a.sf,
+        out,
+        skew=a.skew,
+        file_rows=a.file_rows,
+        tables=set(a.tables.split(",")) if a.tables else None,
+    )
 
 
 if __name__ == "__main__":
