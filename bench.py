@@ -226,6 +226,7 @@ def main() -> None:
         cache_rollback,
         cache_snapshot,
         clear_owned_caches,
+        settle_verdict,
         warm_staged_inputs,
     )
 
@@ -427,12 +428,28 @@ def main() -> None:
     # calm by END of the run (r8: end calibration 1.7x better than start),
     # so spend a bounded budget re-measuring the still-hot cells worst-first
     # in a fresh session and keep the min.
+    #
+    # The pass also RE-CLASSIFIES: a '+contended-retry' tag asserts the cell
+    # is known-inflated, but once an end-of-run re-measure runs in a window
+    # whose PRE canary was calm, min(recorded, settle_best) is a legitimate
+    # calm-host sample (contention only ever ADDS wall time) and the tag's
+    # claim is refuted by measurement — benchutil.settle_verdict holds the
+    # decision rule. Previously a flag could never be cleared at all: the
+    # settle list keyed on the FINAL canary only (a flagged cell whose retry
+    # already ended calm was skipped with its stale flag), and cells whose
+    # own execution heats the post-canary (etl_e2e_*: the documented
+    # clean-pre/hot-post self-wear pattern) re-flagged on every run forever.
     settle_budget = float(os.environ.get("SPARK_GRAFT_SETTLE_BUDGET", "300"))
+    settle_confirmed: dict[str, dict] = {}
     hot = sorted(
         (
             n
             for n, c in refine_canary.items()
-            if c > max(1.5 * calib_floor[0], calib_floor[0] + 0.1) and n in timings
+            if n in timings
+            and (
+                c > max(1.5 * calib_floor[0], calib_floor[0] + 0.1)
+                or "+contended-retry" in methodology[n]
+            )
         ),
         key=lambda n: refine_canary[n],
         reverse=True,
@@ -448,6 +465,7 @@ def main() -> None:
                 if settle_spark is None:
                     settle_spark = spark = _fresh_session("phab_batch")
                 reps = 2 if timings[name] > 10.0 else 3
+                recorded = timings[name]
                 best, canary, retried = _measure_with_canary(
                     settle_spark, name, reps, settle_deadline, seed=timings.get(name)
                 )
@@ -458,9 +476,23 @@ def main() -> None:
                     methodology[name] = f"settle-pass-min-of-{reps}" + (
                         "+contended-retry" if retried else ""
                     )
+                verdict = settle_verdict(
+                    canary_pre[name], canary, calib_floor[0], retried
+                )
+                if verdict is not None and "+contended-retry" in methodology[name]:
+                    # calm-window re-measure refutes "known-inflated": drop
+                    # the flag, keep the full evidence trail in BENCH_DETAIL
+                    methodology[name] = f"settle-{verdict}-min-of-{reps}"
+                    settle_confirmed[name] = {
+                        "recorded": recorded,
+                        "settle_best": round(best, 3),
+                        "pre": canary_pre[name],
+                        "post": round(canary, 3),
+                    }
                 refine_canary[name] = round(canary, 3)
                 print(
-                    f"# settle {name}: -> {timings[name]:.3f}s (canary {canary:.2f}s)",
+                    f"# settle {name}: -> {timings[name]:.3f}s (canary {canary:.2f}s)"
+                    + (f" [{verdict}]" if verdict else ""),
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001 - keep the prior number
@@ -497,6 +529,10 @@ def main() -> None:
         "refine_canary_pre": canary_pre,
         # the uncontended-floor the per-cell canaries were judged against
         "canary_floor": round(calib_floor[0], 3),
+        # cells whose contended-retry flag was refuted by a calm-window
+        # settle re-measure: full evidence (recorded vs settle_best, canary
+        # brackets) so the cleared flag stays auditable
+        "settle_confirmed": settle_confirmed,
         "phase_timings": phase_timings,
         "errors": errors,
     }

@@ -72,6 +72,33 @@ def warm_staged_inputs(spark, sf_dir: str, name: str) -> None:
         _shingle_postings(spark, sf_dir)
 
 
+def settle_verdict(
+    pre: float, post: float, floor: float, retried: bool
+) -> str | None:
+    """Classify an end-of-run settle re-measure of a contention-flagged cell.
+
+    Returns ``"confirmed"``, ``"confirmed-selfwear"``, or ``None`` (not
+    confirmable — the flag stays).
+
+    The ``+contended-retry`` flag exists to mark KNOWN-INFLATED numbers:
+    cells whose every measurement window ran under ambient host contention.
+    Host contention can only ADD wall time to a CPU-bound query, so a settle
+    window whose PRE canary read calm started on a calm host, and
+    min(recorded, settle_best) is then a legitimate >=calm-wall sample — the
+    flag's "inflated" claim is refuted by an actual measurement, not by
+    waiting. A hot POST after a calm PRE is the documented self-wear pattern
+    (the cell's own execution leaves GC/block-storage debt the canary
+    reads — clean-pre + hot-post = self wear, hot-pre = ambient contention);
+    it is confirmed under a distinct label so nothing is hidden. A settle
+    attempt that itself tripped the contended-retry path never confirms,
+    nor does one that began on a hot host.
+    """
+    clean = max(1.3 * floor, floor + 0.05)
+    if retried or pre > clean:
+        return None
+    return "confirmed" if post <= clean else "confirmed-selfwear"
+
+
 def model_caches() -> list[dict]:
     from .operators import clustering, dedup
 
