@@ -288,6 +288,10 @@ def main() -> None:
         pre = _quick_canary(spark)
         calib_floor[0] = min(calib_floor[0], pre)
         canary_pre[name] = round(pre, 3)
+        # canary at the START of every measurement window this attempt runs
+        # (the contended-retry rerun appends its own) — settle_verdict judges
+        # window starts, since a self-wearing cell's post is always hot
+        window_pres = [pre]
         # dep warm-up / owner cache clearing / staged-input warm happen ONCE,
         # before the single snapshot both runs (first + contended rerun) share
         dep = WARM_DEPS.get(name)
@@ -327,13 +331,14 @@ def main() -> None:
                 calib_floor[0] = min(calib_floor[0], canary)
                 if canary <= max(1.3 * calib_floor[0], calib_floor[0] + 0.05):
                     break
+            window_pres.append(canary)  # the rerun window starts HERE
             rerun = _measure(spark, name, repeats, deadline, snap, holder)
             if rerun is not None:
                 best = rerun if best is None else min(best, rerun)
             canary = _quick_canary(spark)
             calib_floor[0] = min(calib_floor[0], canary)
             retried = True
-        return best, canary, retried
+        return best, canary, retried, window_pres
 
     refine_deadline = time.perf_counter() + refine_budget
     for name in top20:
@@ -344,7 +349,7 @@ def main() -> None:
             spark = _fresh_session(name)
             # expensive entries amortize their own noise; cap their repeats
             repeats = 2 if first_pass[name] > 10.0 else 3
-            best, canary, retried = _measure_with_canary(
+            best, canary, retried, _ = _measure_with_canary(
                 spark, name, repeats, refine_deadline
             )
             refine_canary[name] = round(canary, 3)
@@ -406,7 +411,7 @@ def main() -> None:
             # below the shared-jvm drift the tail exists to remove, and the
             # third rep's budget migrates another stranded cell instead
             reps = 2 if first_pass[name] < 1.0 else 3
-            best, canary, retried = _measure_with_canary(
+            best, canary, retried, _ = _measure_with_canary(
                 spark, name, reps, tail_deadline
             )
             if best is None:
@@ -441,17 +446,22 @@ def main() -> None:
     # clean-pre/hot-post self-wear pattern) re-flagged on every run forever.
     settle_budget = float(os.environ.get("SPARK_GRAFT_SETTLE_BUDGET", "300"))
     settle_confirmed: dict[str, dict] = {}
+    _hot_gate = max(1.5 * calib_floor[0], calib_floor[0] + 0.1)
     hot = sorted(
         (
             n
             for n, c in refine_canary.items()
             if n in timings
             and (
-                c > max(1.5 * calib_floor[0], calib_floor[0] + 0.1)
+                c > _hot_gate
+                # a window that BEGAN hot shipped an inflated number even if
+                # the post read calm (a burst ending mid-window never trips
+                # the retry gate, which watches the post canary only)
+                or canary_pre.get(n, 0.0) > _hot_gate
                 or "+contended-retry" in methodology[n]
             )
         ),
-        key=lambda n: refine_canary[n],
+        key=lambda n: max(refine_canary[n], canary_pre.get(n, 0.0)),
         reverse=True,
     )
     if hot:
@@ -466,7 +476,7 @@ def main() -> None:
                     settle_spark = spark = _fresh_session("phab_batch")
                 reps = 2 if timings[name] > 10.0 else 3
                 recorded = timings[name]
-                best, canary, retried = _measure_with_canary(
+                best, canary, retried, window_pres = _measure_with_canary(
                     settle_spark, name, reps, settle_deadline, seed=timings.get(name)
                 )
                 if best is None:
@@ -476,9 +486,7 @@ def main() -> None:
                     methodology[name] = f"settle-pass-min-of-{reps}" + (
                         "+contended-retry" if retried else ""
                     )
-                verdict = settle_verdict(
-                    canary_pre[name], canary, calib_floor[0], retried
-                )
+                verdict = settle_verdict(window_pres, canary, calib_floor[0])
                 if verdict is not None and "+contended-retry" in methodology[name]:
                     # calm-window re-measure refutes "known-inflated": drop
                     # the flag, keep the full evidence trail in BENCH_DETAIL
@@ -486,7 +494,7 @@ def main() -> None:
                     settle_confirmed[name] = {
                         "recorded": recorded,
                         "settle_best": round(best, 3),
-                        "pre": canary_pre[name],
+                        "window_pres": [round(w, 3) for w in window_pres],
                         "post": round(canary, 3),
                     }
                 refine_canary[name] = round(canary, 3)

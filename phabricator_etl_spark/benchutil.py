@@ -73,28 +73,34 @@ def warm_staged_inputs(spark, sf_dir: str, name: str) -> None:
 
 
 def settle_verdict(
-    pre: float, post: float, floor: float, retried: bool
+    window_pres: list[float], post: float, floor: float
 ) -> str | None:
     """Classify an end-of-run settle re-measure of a contention-flagged cell.
 
-    Returns ``"confirmed"``, ``"confirmed-selfwear"``, or ``None`` (not
+    ``window_pres`` carries the canary reading taken at the START of every
+    measurement window the settle attempt ran (the pre-canary of the first
+    run, plus — if the attempt tripped its own contended retry — the
+    settle-loop exit reading the rerun started from). Returns
+    ``"confirmed"``, ``"confirmed-selfwear"``, or ``None`` (not
     confirmable — the flag stays).
 
     The ``+contended-retry`` flag exists to mark KNOWN-INFLATED numbers:
     cells whose every measurement window ran under ambient host contention.
-    Host contention can only ADD wall time to a CPU-bound query, so a settle
-    window whose PRE canary read calm started on a calm host, and
-    min(recorded, settle_best) is then a legitimate >=calm-wall sample — the
-    flag's "inflated" claim is refuted by an actual measurement, not by
-    waiting. A hot POST after a calm PRE is the documented self-wear pattern
-    (the cell's own execution leaves GC/block-storage debt the canary
-    reads — clean-pre + hot-post = self wear, hot-pre = ambient contention);
-    it is confirmed under a distinct label so nothing is hidden. A settle
-    attempt that itself tripped the contended-retry path never confirms,
-    nor does one that began on a hot host.
+    Host contention can only ADD wall time to a CPU-bound query, so once a
+    settle window verifiably BEGAN calm, min(recorded, settle_best) is a
+    legitimate >=calm-wall sample — the flag's "inflated" claim is refuted
+    by an actual measurement, not by waiting. A hot POST after calm starts
+    is the documented self-wear pattern (the cell's own execution leaves
+    GC/block-storage debt the canary reads — clean-pre + hot-post = self
+    wear, hot-pre = ambient contention); it is confirmed under a distinct
+    label so nothing is hidden. Judging window STARTS (not the retried
+    bit) matters for exactly those cells: their own wear re-trips the
+    retry on every attempt, so a retried-never-confirms rule would leave
+    etl_e2e_* flagged forever even when every window began at the floor.
+    A window that began hot keeps the flag.
     """
     clean = max(1.3 * floor, floor + 0.05)
-    if retried or pre > clean:
+    if not window_pres or any(p > clean for p in window_pres):
         return None
     return "confirmed" if post <= clean else "confirmed-selfwear"
 

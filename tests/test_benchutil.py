@@ -105,28 +105,36 @@ def test_initial_heap_floor_on_exhausted_host(monkeypatch, tmp_path):
 
 def test_settle_verdict_clears_flags_only_on_calm_windows():
     """The '+contended-retry' flag means KNOWN-INFLATED. A settle re-measure
-    may clear it only when its window verifiably began calm (pre canary at
-    the floor) and did not itself trip the retry path; a hot post after a
-    calm pre is the documented self-wear pattern and confirms under a
-    distinct label instead of silently re-flagging forever (etl_e2e_*)."""
+    may clear it only when every measurement window it ran verifiably BEGAN
+    calm (window-start canaries at the floor); a hot post after calm starts
+    is the documented self-wear pattern and confirms under a distinct label
+    instead of silently re-flagging forever (etl_e2e_*), including when the
+    wear trips the in-settle retry — the rerun window's own start canary is
+    what must be calm, not the retried bit."""
     from phabricator_etl_spark.benchutil import settle_verdict
 
     floor = 0.04  # clean threshold = max(1.3*0.04, 0.04+0.05) = 0.09
-    # calm pre + calm post: flag refuted outright
-    assert settle_verdict(0.05, 0.08, floor, retried=False) == "confirmed"
-    # calm pre + hot post: self-wear — confirmed, but labelled as such
-    assert (
-        settle_verdict(0.05, 0.40, floor, retried=False) == "confirmed-selfwear"
-    )
-    # hot pre: the settle window itself started contended — flag stays
-    assert settle_verdict(0.30, 0.05, floor, retried=False) is None
-    # the settle measurement tripped its own contended retry — flag stays
-    assert settle_verdict(0.05, 0.05, floor, retried=True) is None
+    # calm start + calm post: flag refuted outright
+    assert settle_verdict([0.05], 0.08, floor) == "confirmed"
+    # calm start + hot post: self-wear — confirmed, but labelled as such
+    assert settle_verdict([0.05], 0.40, floor) == "confirmed-selfwear"
+    # hot start: the settle window itself started contended — flag stays
+    assert settle_verdict([0.30], 0.05, floor) is None
+    # self-wear tripped the in-settle retry, but BOTH windows began calm
+    # (first pre + settle-loop exit): still confirmable as self-wear
+    assert settle_verdict([0.05, 0.07], 0.40, floor) == "confirmed-selfwear"
+    # ...and if the retry's rerun window began calm and ended calm, the
+    # rerun was a fully calm-bracketed measurement: plain confirmation
+    assert settle_verdict([0.05, 0.07], 0.08, floor) == "confirmed"
+    # the settle loop never calmed before the rerun — flag stays
+    assert settle_verdict([0.05, 0.30], 0.05, floor) is None
+    # no measured window at all — nothing to confirm with
+    assert settle_verdict([], 0.05, floor) is None
     # threshold is max(ratio, absolute): at a tiny ratcheted floor the
     # absolute +0.05 margin governs, so ~60 ms canary noise still confirms
-    assert settle_verdict(0.055, 0.03, 0.01, retried=False) == "confirmed"
-    # boundary: pre exactly at the clean threshold confirms (gate is '>')
-    assert settle_verdict(0.09, 0.09, floor, retried=False) == "confirmed"
+    assert settle_verdict([0.055], 0.03, 0.01) == "confirmed"
+    # boundary: start exactly at the clean threshold confirms (gate is '>')
+    assert settle_verdict([0.09], 0.09, floor) == "confirmed"
 
 
 def test_cache_owner_and_staged_input_declarations():
