@@ -277,7 +277,12 @@ def main() -> None:
         return best
 
     def _measure_with_canary(
-        spark, name: str, repeats: int, deadline: float, seed: float | None = None
+        spark,
+        name: str,
+        repeats: int,
+        deadline: float,
+        seed: float | None = None,
+        strict_calm_start: bool = False,
     ):
         # PRE-measurement canary: a hot post-canary alone cannot distinguish
         # "the host was busy during the window" from "the query's own
@@ -287,6 +292,33 @@ def main() -> None:
         # BENCH_DETAIL (refine_canary_pre / refine_canary).
         pre = _quick_canary(spark)
         calib_floor[0] = min(calib_floor[0], pre)
+        # Start the window calm when possible: a hot PRE here is most often
+        # the session's own warm-up or the previous cell's wear (the shared
+        # settle/tail JVM), and a window that begins hot ships a
+        # known-inflated number that can never be confirmed. Wait it out
+        # (bounded, deadline-guarded) exactly like the post-canary settle
+        # loop — measuring on a calm window can only LOWER the recorded min.
+        # the settle pass waits from the CONFIRM bar down (strict): between
+        # the retry gate (1.6x/+0.1) and the confirm bar (1.3x/+0.05) lies a
+        # dead zone where a window starts warm enough to block confirmation
+        # but not hot enough to trigger this wait (observed: etl_e2e_full
+        # missing confirmation on a 4 ms excess)
+        _wait_bar = (
+            max(1.3 * calib_floor[0], calib_floor[0] + 0.05)
+            if strict_calm_start
+            else max(1.6 * calib_floor[0], calib_floor[0] + 0.1)
+        )
+        if pre > _wait_bar:
+            wait_t0 = time.perf_counter()
+            while (
+                time.perf_counter() - wait_t0 < 45
+                and time.perf_counter() < deadline
+            ):
+                time.sleep(5)
+                pre = _quick_canary(spark)
+                calib_floor[0] = min(calib_floor[0], pre)
+                if pre <= max(1.3 * calib_floor[0], calib_floor[0] + 0.05):
+                    break
         canary_pre[name] = round(pre, 3)
         # canary at the START of every measurement window this attempt runs
         # (the contended-retry rerun appends its own) — settle_verdict judges
@@ -477,7 +509,12 @@ def main() -> None:
                 reps = 2 if timings[name] > 10.0 else 3
                 recorded = timings[name]
                 best, canary, retried, window_pres = _measure_with_canary(
-                    settle_spark, name, reps, settle_deadline, seed=timings.get(name)
+                    settle_spark,
+                    name,
+                    reps,
+                    settle_deadline,
+                    seed=timings.get(name),
+                    strict_calm_start=True,
                 )
                 if best is None:
                     continue
