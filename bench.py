@@ -223,9 +223,9 @@ def main() -> None:
 
     from phabricator_etl_spark.benchutil import (
         WARM_DEPS,
-        cache_rollback,
         cache_snapshot,
         clear_owned_caches,
+        measure_reps,
         settle_verdict,
         warm_staged_inputs,
     )
@@ -244,37 +244,35 @@ def main() -> None:
         the r9 advisor caught exactly that (scale_bench scopes its snap
         outside _run_reps for the same reason).
 
-        `holder` is a shared one-element best-so-far spanning the first run
-        AND any contended-retry rerun (and, for the settle pass, seeded with
-        the already-recorded cell): the phase decomposition is captured only
-        when the GLOBAL min improves. With a per-call best, a rerun rep
-        slower than the first run's min silently overwrote phase_timings
-        with a decomposition from a different, slower run (r9 advisor —
-        scale_bench's stage_rec had the identical hole)."""
-        best = None
-        if holder is None:
-            holder = [None]
-        for _ in range(repeats):
-            cache_rollback(snap)
-            if name.startswith("etl_e2e_"):
+        The rollback-before-every-rep + shared-best-holder discipline lives
+        in benchutil.measure_reps (unit-tested with a counting fake — the
+        r8 rerun-warm-model and the r9 slower-rerun-overwrites-decomposition
+        bugs both have failing tests there); this wrapper supplies only the
+        query runner and the etl_e2e_* phase-decomposition capture."""
+        is_e2e = name.startswith("etl_e2e_")
+
+        def _prep():
+            if is_e2e:
                 IR.PHASE_LOG.clear()
-            t0 = time.perf_counter()
+
+        def _run_once():
             by_name[name].build(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            if (
-                name.startswith("etl_e2e_")
-                and IR.PHASE_LOG
-                and (holder[0] is None or dt < holder[0])
-            ):
-                # keep the phase decomposition of the BEST repeat —
-                # the one whose total lands in the timings map
+
+        def _capture(dt):
+            # keep the phase decomposition of the BEST repeat —
+            # the one whose total lands in the timings map
+            if is_e2e and IR.PHASE_LOG:
                 phase_timings[name] = [dict(p) for p in IR.PHASE_LOG]
-            if holder[0] is None or dt < holder[0]:
-                holder[0] = dt
-            best = dt if best is None else min(best, dt)
-            if time.perf_counter() > deadline:
-                break
-        return best
+
+        return measure_reps(
+            _run_once,
+            repeats,
+            snap,
+            holder,
+            deadline=deadline,
+            prep=_prep,
+            capture=_capture,
+        )
 
     def _measure_with_canary(
         spark,

@@ -156,3 +156,73 @@ def test_cache_owner_and_staged_input_declarations():
         "declared an owner so harnesses clear it before measuring the owner"
     )
     assert POSTINGS_CONSUMERS <= names
+
+
+def test_measure_reps_rerun_repays_model_build():
+    """VERDICT r9 #4: the r8-shaped bug on a counting fake. A contended-retry
+    rerun shares the snapshot taken BEFORE the first run, so every rep —
+    including rep 0 of the rerun — must find the model the timed query
+    builds evicted and re-pay the fit. With a snapshot taken inside the
+    rerun (the r8 bug) the assert below fires on the rerun's first rep."""
+    from phabricator_etl_spark.benchutil import measure_reps
+
+    caches = model_caches()
+    try:
+        caches[0]["pre-existing"] = "warm-dep-model"
+        builds = []
+
+        def run_once():
+            # a warm hit here IS the r8 bug: the rep would silently time
+            # apply-with-warm-model under a tag that promises the fit
+            assert "built-by-query" not in caches[0]
+            # ...while caches predating the snapshot must stay warm
+            assert caches[0]["pre-existing"] == "warm-dep-model"
+            builds.append(1)
+            caches[0]["built-by-query"] = "fit"
+
+        ticks = iter(range(1000))
+
+        def clock():
+            return next(ticks)
+
+        snap = cache_snapshot()  # ONCE, before the first run
+        holder = [None]
+        measure_reps(run_once, 2, snap, holder, clock=clock)
+        # contended-retry rerun: SAME snap, SAME holder
+        measure_reps(run_once, 2, snap, holder, clock=clock)
+        assert len(builds) == 4, "every rep of both runs must re-pay the fit"
+        assert caches[0]["pre-existing"] == "warm-dep-model"
+    finally:
+        for c in caches:
+            c.clear()
+
+
+def test_measure_reps_capture_only_on_global_best():
+    """The r9 advisor hole: a rerun rep slower than the first run's min must
+    NOT re-capture the phase/stage decomposition — capture() fires only when
+    the shared best-so-far holder improves, across BOTH invocations."""
+    from phabricator_etl_spark.benchutil import measure_reps
+
+    # two calls x two reps with durations 5, 3, 9, 4 (clock ticks are
+    # consumed in (t0, t1) pairs per rep; no deadline -> no extra tick)
+    ticks = iter([0, 5, 10, 13, 100, 109, 200, 204])
+
+    def clock():
+        return next(ticks)
+
+    captured = []
+    snap = cache_snapshot()
+    holder = [None]
+    best1 = measure_reps(
+        lambda: None, 2, snap, holder, clock=clock, capture=captured.append
+    )
+    best2 = measure_reps(
+        lambda: None, 2, snap, holder, clock=clock, capture=captured.append
+    )
+    assert best1 == 3 and best2 == 4  # per-call mins (the recorded cell
+    # takes min(best1, best2) — unchanged)
+    assert holder[0] == 3
+    assert captured == [5, 3], (
+        "9 and 4 never beat the global min 3: their decompositions must not "
+        "overwrite the one paired with the recorded number"
+    )

@@ -49,3 +49,48 @@ def test_unknown_table_rejected():
     cfg = JdbcConfig.from_env(ENV)
     with pytest.raises(ValueError, match="not a known table"):
         reader_options(cfg, "user", "differential_diff")
+
+
+def test_exact_options_for_the_four_reference_dsns():
+    """VERDICT r9 #5: pin the MySQL dialect mapping without a server — the
+    EXACT option map emitted for one table of each of the four reference
+    databases (stats.py:126-149's DSNs). If the live seam ever opens, these
+    are the options that meet the MySQL wire."""
+    cfg = JdbcConfig.from_env(ENV)
+    base = {
+        "user": "etl",
+        "password": "s3cret",
+        "driver": "com.mysql.cj.jdbc.Driver",
+        # the reference decodes utf8 bytes columns by hand (stats.py:617-619);
+        # the connector normalizes at the wire instead
+        "characterEncoding": "utf-8",
+    }
+    part = {
+        "partitionColumn": "id",
+        "numPartitions": "16",
+        "lowerBound": "0",
+        "upperBound": str(1 << 40),
+    }
+    assert reader_options(cfg, "user", "user") == {
+        "url": "jdbc:mysql://db.example.internal:3307/phab_user",
+        "dbtable": "user",
+        **base,
+        **part,
+    }
+    assert reader_options(cfg, "project", "project") == {
+        "url": "jdbc:mysql://db.example.internal:3307/phab_project",
+        "dbtable": "project",
+        **base,
+        **part,
+    }
+    assert reader_options(cfg, "repository", "repository_uri", partition_column=None) == {
+        "url": "jdbc:mysql://db.example.internal:3307/phab_repository",
+        "dbtable": "repository_uri",
+        **base,
+    }
+    assert reader_options(cfg, "differential", "differential_revision") == {
+        "url": "jdbc:mysql://db.example.internal:3307/phab_differential",
+        "dbtable": "differential_revision",
+        **base,
+        **part,
+    }
