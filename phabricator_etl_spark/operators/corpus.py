@@ -211,9 +211,21 @@ LIMIT 20
 # Vocabulary coverage / OOV rate: build the top-K vocabulary from corpus
 # frequencies, broadcast it, and measure per-language out-of-vocabulary
 # token rates — the tokenizer-coverage evaluation run before committing to
-# a vocab size. Two aggregations; the vocab is broadcast (it is top-K by
-# construction), so the coverage pass never shuffles the token stream a
-# second time.
+# a vocab size.
+#
+# ONE tokenize pass (r11): the token stream is aggregated once by
+# (lang, w); the vocab is the top-K of that table re-aggregated by w
+# (sum over langs == the global count, exactly), and the coverage pass
+# joins the broadcast vocab against the (lang, w) COUNT table — vocabulary
+# x language sized — instead of against the raw token stream. The r10 plan
+# scanned+tokenized the corpus TWICE (once for the vocab aggregate, once
+# for the coverage join) and ran the vocab broadcast-join per TOKEN; this
+# form does both per distinct (lang, w). n_tokens/n_oov become
+# count-weighted sums of the same integers, so the output is bit-identical
+# (the permille ratio divides the same exact int64s in double, then
+# rounds). The (lang, w) aggregate is two-consumer (vocab + coverage), so
+# it is localCheckpoint-materialized — vocabulary-sized per language, not
+# corpus-sized.
 # ---------------------------------------------------------------------------
 
 VOCAB_K = 20
@@ -222,23 +234,23 @@ VOCAB_K = 20
 def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = d.select("lang", F.explode(F.split(F.col("text"), _TOKEN_RE)).alias("w"))
+    lw = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
     vocab = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        lw.groupBy("w")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(VOCAB_K)
         .select("w")
     )
-    flagged = toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left")
+    flagged = lw.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
     return (
         flagged.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.col("in_vocab").isNull().cast("long")).cast("long").alias("n_oov"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(oov_c).cast("long").alias("n_oov"),
             F.round(
-                F.lit(1000.0)
-                * F.sum(F.col("in_vocab").isNull().cast("long"))
-                / F.count(F.lit(1)),
+                F.lit(1000.0) * F.sum(oov_c) / F.sum("c"),
                 4,
             ).alias("oov_permille"),
         )
@@ -275,8 +287,22 @@ ORDER BY lang
 # rational N*c_xy/(c_x*c_y) computed as one division of exact int64 products
 # (correctly rounded -> bit-identical across engines); ln() — which is
 # implementation-defined in the last ulp — only ever feeds the ROUND(…,4)
-# display column. Three aggregations (unigram, bigram, total), all keyed on
-# uniformly-distributed words: linear at 100 TB.
+# display column.
+#
+# Model build is ONE corpus pass (r11, the text_bigram_lm_score move from
+# r10): a (x, next-token-or-null) stream aggregated by GROUPING SETS
+# ((x), (x, y)) yields unigram counts (every token appears exactly once as
+# x; the doc-final token carries a null y sentinel), bigram counts (the
+# (x, y) set minus the null-y groups) and N (sum over the unigram set)
+# from ONE scan+tokenize+aggregate — replacing the two separate corpus
+# tokenize arms (unigram pass + bigram pass) the r10 plan still carried.
+# The aggregate is localCheckpoint-materialized for the same reason as
+# text_bigram_lm_score: Catalyst pushes each consumer's gid/null filter
+# through the aggregate onto the Expand output, specializing the subtrees
+# so neither ReusedExchange nor AQE stage reuse fires. The checkpointed
+# relation is MODEL-sized (distinct unigrams + distinct bigrams — the same
+# rows the previous plan checkpointed for `uni` alone plus the bigram
+# aggregate it recomputed), not corpus-sized.
 # ---------------------------------------------------------------------------
 
 PMI_MIN_COUNT = 5
@@ -286,30 +312,32 @@ PMI_TOP_K = 20
 def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), _TOKEN_RE)
-    tok = d.select(F.explode(toks).alias("w"))
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    # F.get is 0-based and null-on-out-of-bounds (ANSI-safe): element i
+    # pairs with its successor; the doc-final token gets a null sentinel.
+    pair_stream = d.select(
+        F.explode(
+            F.transform(
+                toks,
+                lambda x, i: F.struct(x.alias("x"), F.get(toks, i + 1).alias("y")),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    model = (
+        pair_stream.groupingSets([["x"], ["x", "y"]], "x", "y")
+        .agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+        .localCheckpoint(eager=True)
+    )
+    # gid bit set = column ABSENT from the grouping set: (x) -> 1, (x, y) -> 0
+    uni = model.filter(F.col("gid") == 1).select("x", F.col("c"))
     # `or 0`: SUM over an empty corpus is NULL; `big` is then empty too, so
     # the ratio column never evaluates — 0 keeps float() total
     n_tokens = uni.agg(F.sum("c").cast("long")).collect()[0][0] or 0
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("x"), F.element_at(toks, i + 1).alias("y")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
-    big = (
-        d.select(F.explode(bigrams).alias("p"))
-        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("cxy"))
-        .filter(F.col("cxy") >= PMI_MIN_COUNT)
-    )
+    big = model.filter(
+        (F.col("gid") == 0) & F.col("y").isNotNull() & (F.col("c") >= PMI_MIN_COUNT)
+    ).select("x", "y", F.col("c").alias("cxy"))
     # vocabulary is tiny relative to the corpus -> broadcast both unigram legs
-    cx = F.broadcast(uni.select(F.col("w").alias("x"), F.col("c").alias("cx")))
-    cy = F.broadcast(uni.select(F.col("w").alias("y"), F.col("c").alias("cy")))
+    cx = F.broadcast(uni.select("x", F.col("c").alias("cx")))
+    cy = F.broadcast(uni.select(F.col("x").alias("y"), F.col("c").alias("cy")))
     ratio = (F.lit(float(n_tokens)) * F.col("cxy")) / (F.col("cx") * F.col("cy")).cast(
         "double"
     )

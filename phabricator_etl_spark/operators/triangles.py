@@ -41,16 +41,24 @@ def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join with a post-filter (9M candidate pairs at sf0.1), but each
     # arm solves for v: 31u + 17v ≡ 0 (mod 23)  ⇔  v ≡ 9u   (17⁻¹ = 19)
     #                   17u + 31v ≡ 0 (mod 23)  ⇔  v ≡ 18u  (31⁻¹ = 3)
-    # so edge generation is TWO equi-joins on (nation, residue-class) —
+    # so edge generation is an equi-join on (nation, residue-class) —
     # intermediate rows = actual matches, not candidates. This is the
     # residue-bucketing move that turns any modular non-equi predicate into
     # a hash join; measured 3.6s -> ~2s at sf0.1.
+    #
+    # ONE arm suffices (r11): 9·18 = 162 ≡ 1 (mod 23), so the two residue
+    # classes are mutually inverse — v ≡ 18u ⇔ u ≡ 9v — which makes arm2
+    # exactly the TRANSPOSE of arm1. After the least/greatest
+    # symmetrization both arms canonicalize to the same (a, b) set, so the
+    # r10 plan's second equi-join and the union shuffled twice the rows to
+    # produce zero new edges. The distinct stays: a pair with BOTH
+    # endpoints ≡ 0 (mod 23) satisfies v ≡ 9u in both orientations and
+    # would otherwise appear twice.
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     u_side = c.select(
         F.col("c_custkey").alias("u"),
         F.col("c_nationkey").alias("nk"),
         (F.col("c_custkey") * 9 % _EDGE_MOD).alias("res1"),
-        (F.col("c_custkey") * 18 % _EDGE_MOD).alias("res2"),
     )
     v_side = c.select(
         F.col("c_custkey").alias("v"),
@@ -58,10 +66,8 @@ def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % _EDGE_MOD).alias("vres"),
     )
     arm1 = u_side.join(v_side, (u_side.nk == v_side.nk) & (u_side.res1 == v_side.vres))
-    arm2 = u_side.join(v_side, (u_side.nk == v_side.nk) & (u_side.res2 == v_side.vres))
     pairs = (
         arm1.select("u", "v")
-        .union(arm2.select("u", "v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .distinct()

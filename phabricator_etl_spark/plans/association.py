@@ -55,18 +55,21 @@ MAX_BASKET_ITEMS = 256
 
 
 def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     li = _t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select(
-            F.col("l_orderkey").cast("long").alias("basket"),
-            F.col("l_partkey").cast("long").alias("item"),
-        )
-        .distinct()
-        .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("basket")))
-        .filter(F.col("bsz") <= MAX_BASKET_ITEMS)
-        .drop("bsz")
+    # r11: baskets as ONE aggregation. The r10 plan built distinct
+    # (basket, item) rows (exchange 1), then a COUNT window partitioned by
+    # basket (exchange 2 + sort) for the length cap, then self-joined the
+    # stream on basket (two more basket-keyed exchanges). collect_set gives
+    # the distinct item set AND its size in a single basket-keyed
+    # aggregation — map-side partial collect_set collapses duplicate
+    # (basket, item) rows before the exchange, the cap is a size() filter
+    # (no window, no sort), and the pair generation below happens in-row,
+    # so no basket-keyed exchange remains after this one. Basket arrays are
+    # bounded by MAX_BASKET_ITEMS, so per-row width is capped.
+    bsets = (
+        li.groupBy(F.col("l_orderkey").cast("long").alias("basket"))
+        .agg(F.collect_set(F.col("l_partkey").cast("long")).alias("items"))
+        .filter(F.size("items") <= MAX_BASKET_ITEMS)
     )
     # basket count + threshold as a broadcast 1-row scalar: keeps the whole
     # query ONE job instead of an eager mid-pipeline .count() that blocks
@@ -74,13 +77,14 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own oracle (CROSS JOIN n). ceil() in exact int64 via `div` (Column
     # `/` is DOUBLE division, which could round across the boundary for
     # quotients near 2^53 — the oracle's `//` is exact, so must this be).
-    scalars = baskets.agg(F.count_distinct("basket").cast("long").alias("nbl")).select(
+    scalars = bsets.agg(F.count(F.lit(1)).cast("long").alias("nbl")).select(
         F.col("nbl").cast("double").alias("nb"),
         F.greatest(
             F.lit(MIN_SUPPORT).cast("long"),
             F.expr(f"(nbl * {SUPPORT_NUM} + {SUPPORT_DEN - 1}) div {SUPPORT_DEN}"),
         ).alias("minsup"),
     )
+    baskets = bsets.select("basket", F.explode("items").alias("item"))
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     # A-priori prune: any pair with support >= s has both items with
     # support >= s — drop infrequent items BEFORE the pair join. The scalar
@@ -93,12 +97,36 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= F.col("minsup"))
         .select("item", "nb", "minsup")
     )
-    fb = baskets.join(F.broadcast(frequent), "item")
-    x = fb.select("basket", F.col("item").alias("a"), "nb", "minsup")
-    y = fb.select("basket", F.col("item").alias("b"))
+    # r11: pairs generated IN-ROW from each basket's sorted frequent-item
+    # array instead of the basket self-join (which shuffled the
+    # frequent-item stream twice more by basket and emitted the quadratic
+    # pair stream as join output). The regroup collects each basket's
+    # surviving items (bounded by MAX_BASKET_ITEMS); array_sort makes
+    # position order == value order, so combinations (i < j) are exactly
+    # the a < b canonical pairs, and the quadratic pair stream is born
+    # inside the row and partially aggregated map-side before its only
+    # exchange.
+    fb = (
+        baskets.join(F.broadcast(frequent), "item")
+        .groupBy("basket")
+        .agg(
+            F.array_sort(F.collect_list("item")).alias("fitems"),
+            F.min("nb").alias("nb"),
+            F.min("minsup").alias("minsup"),
+        )
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("fitems"),
+            lambda a, i: F.transform(
+                F.slice(F.col("fitems"), i + 2, F.size(F.col("fitems"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        x.join(y, "basket")
-        .filter(F.col("a") < F.col("b"))
+        fb.select(F.explode(pair_arr).alias("p"), "nb", "minsup")
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "nb", "minsup")
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).alias("support"),

@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Round-10 optimization probe: capture `.explain("formatted")` and a
+"""Optimization-round probe (r10+): capture `.explain("formatted")` and a
 min-of-N fresh-session timing for named queries.
 
 Usage:
-    python tools/opt_probe.py plans  <tag> <query> [query ...]   # plans/r10/<query>_<tag>.txt
+    python tools/opt_probe.py plans  <tag> <query> [query ...]   # plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r11)
     python tools/opt_probe.py time   <query> [query ...]          # bench-methodology min-of-3
 
 `time` mirrors bench.py's refine discipline (fresh session, warm-up, model
@@ -23,7 +23,10 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+PLANS_ROUND = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+PLANS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", PLANS_ROUND
+)
 
 
 def _session(for_query: str):
